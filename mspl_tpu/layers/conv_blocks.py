@@ -1,0 +1,151 @@
+"""Convolution building blocks (reference layer L1, SURVEY.md §1/§2).
+
+Re-implements the public surface of the reference's `nn_layers/cnn_utils.py`
+(`CBR`, `CB`, `C`, `CDilated`, `BR` — SURVEY.md §2 "Conv primitives") as Flax
+linen modules, designed TPU-first:
+
+* NHWC layout throughout (XLA's preferred TPU conv layout);
+* explicit symmetric padding = dilation * (k-1)/2, matching torch
+  ``Conv2d(padding=d*(k-1)//2)`` semantics so fp32 parity tests against the
+  in-repo torch oracle are exact;
+* BatchNorm with torch semantics (eps=1e-5, running-stat momentum 0.1 ==
+  flax momentum 0.9);
+* per-channel PReLU (torch ``nn.PReLU(nOut)`` semantics, init 0.25).
+
+All blocks take ``train: bool`` to select batch-vs-running BN statistics; the
+``batch_stats`` collection must be marked mutable during training.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch BatchNorm2d defaults
+_BN_EPS = 1e-5
+_BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum(0.1)
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU: y = max(x, 0) + alpha_c * min(x, 0); alpha init 0.25."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha", lambda key, shape: jnp.full(shape, 0.25, jnp.float32), (self.features,)
+        )
+        alpha = alpha.astype(x.dtype)
+        return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
+class C(nn.Module):
+    """Plain conv, no BN/activation, no bias (reference `C`)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = _pair(self.kernel_size)
+        d = _pair(self.dilation)
+        pad = ((d[0] * (k[0] - 1) // 2,) * 2, (d[1] * (k[1] - 1) // 2,) * 2)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=_pair(self.stride),
+            padding=pad,
+            kernel_dilation=d,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+
+
+class CDilated(nn.Module):
+    """Dilated conv (reference `CDilated`); with groups == features it is the
+    dilated depthwise 3x3 used inside EESP branches (SURVEY.md §2 "EESP unit")."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return C(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            groups=self.groups,
+        )(x)
+
+
+class BR(nn.Module):
+    """BatchNorm + PReLU (reference `BR`)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=_BN_MOMENTUM, epsilon=_BN_EPS
+        )(x)
+        return PReLU(self.features)(x)
+
+
+class CB(nn.Module):
+    """Conv + BatchNorm (reference `CB`)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = C(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            groups=self.groups,
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=_BN_MOMENTUM, epsilon=_BN_EPS
+        )(x)
+
+
+class CBR(nn.Module):
+    """Conv + BatchNorm + PReLU (reference `CBR`)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = CB(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            groups=self.groups,
+        )(x, train=train)
+        return PReLU(self.features)(x)

@@ -1,0 +1,146 @@
+"""EESP unit and strided DownSampler (reference layer L1, SURVEY.md §2).
+
+Algorithm per SURVEY.md Appendix A ("EESP unit", ESPNetv2 paper
+arXiv:1811.11431 §3):
+
+    input (Cin) → grouped 1x1 CBR reduce to n = Cout/K channels
+    → K parallel depthwise 3x3 convs with growing dilation rates
+    → hierarchical feature fusion (HFF): out_k += out_{k-1}
+    → concat (Cout) → BN+PReLU → grouped 1x1 CB expand (Cout)
+    → residual add with input when shapes match → PReLU.
+
+Branch dilation rates follow the effective-receptive-field rule: equivalent
+kernel sizes 3,5,7,…(3+2i) capped at `r_lim` (over-limit branches fall back to
+3), sorted ascending, dilation = (ksize-1)/2.
+
+The strided variant (stride=2, `down_method='avg'`) skips the residual add.
+`DownSampler` concatenates the strided EESP with a 3x3/s2 average pool of its
+input and optionally adds an input-reinforcement branch computed from the raw
+RGB image (avg-pooled to the target resolution → CBR 3x3 → CB 1x1).
+
+TPU notes: the K dilated depthwise branches all read the same projected
+activation; the jnp path below uses `lax.conv_general_dilated` per branch
+(NHWC, depthwise) and XLA fuses the HFF adds.  A fused Pallas kernel for the
+whole branch stack lives in `mspl_tpu.ops.pallas_eesp` and is switched in by
+the model flag `use_pallas` (see mspl_tpu/models/espnetv2.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mspl_tpu.layers.conv_blocks import BR, CB, CBR, CDilated, PReLU
+
+
+def branch_dilations(k: int, r_lim: int) -> Tuple[int, ...]:
+    """Effective-kernel-size → dilation schedule for the K branches."""
+    ksizes = []
+    for i in range(k):
+        ksize = 3 + 2 * i
+        ksizes.append(ksize if ksize <= r_lim else 3)
+    ksizes.sort()
+    return tuple((ks - 1) // 2 for ks in ksizes)
+
+
+class EESP(nn.Module):
+    """Extremely Efficient Spatial Pyramid unit."""
+
+    out_features: int
+    stride: int = 1
+    k: int = 4
+    r_lim: int = 7
+    down_method: str = "esp"  # 'avg' => strided variant inside DownSampler
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        nin = x.shape[-1]
+        nout = self.out_features
+        n = nout // self.k
+        if n * self.k != nout:
+            raise ValueError(f"EESP out_features={nout} must be divisible by k={self.k}")
+        groups = self.k if (nin % self.k == 0 and n % self.k == 0) else 1
+
+        proj = CBR(n, kernel_size=1, stride=1, groups=groups, name="proj_1x1")(
+            x, train=train
+        )
+
+        dilations = branch_dilations(self.k, self.r_lim)
+        branches = []
+        for i, d in enumerate(dilations):
+            b = CDilated(
+                n,
+                kernel_size=3,
+                stride=self.stride,
+                dilation=d,
+                groups=n,
+                name=f"dw_d{i}",
+            )(proj)
+            # hierarchical feature fusion: cumulative adds kill gridding
+            if i > 0:
+                b = b + branches[-1]
+            branches.append(b)
+
+        merged = jnp.concatenate(branches, axis=-1)
+        merged = BR(nout, name="br_after_cat")(merged, train=train)
+        expanded = CB(nout, kernel_size=1, stride=1, groups=groups, name="conv_1x1_exp")(
+            merged, train=train
+        )
+
+        if self.stride == 2 and self.down_method == "avg":
+            return expanded
+        if expanded.shape == x.shape:
+            expanded = expanded + x
+        return PReLU(nout, name="module_act")(expanded)
+
+
+def _avg_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    # torch AvgPool2d(3, stride=2, padding=1, count_include_pad=True)
+    return nn.avg_pool(
+        x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+        count_include_pad=True,
+    )
+
+
+class DownSampler(nn.Module):
+    """Strided EESP ++ avg-pool shortcut ++ optional RGB input reinforcement."""
+
+    out_features: int
+    k: int = 4
+    r_lim: int = 9
+    reinf: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        img: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        nin = x.shape[-1]
+        nout = self.out_features
+        nout_new = nout - nin
+        if nout_new <= 0:
+            raise ValueError(f"DownSampler needs out_features({nout}) > in({nin})")
+
+        avg_out = _avg_pool_3x3_s2(x)
+        eesp_out = EESP(
+            nout_new, stride=2, k=self.k, r_lim=self.r_lim, down_method="avg",
+            name="eesp",
+        )(x, train=train)
+        out = jnp.concatenate([avg_out, eesp_out], axis=-1)
+
+        if self.reinf and img is not None:
+            # avg-pool the raw image until it matches our spatial size
+            # (shapes are static under jit, so this loop unrolls at trace time)
+            while img.shape[1] != out.shape[1] or img.shape[2] != out.shape[2]:
+                img = _avg_pool_3x3_s2(img)
+            r = CBR(img.shape[-1], kernel_size=3, stride=1, name="inp_reinf_cbr")(
+                img, train=train
+            )
+            r = CB(nout, kernel_size=1, stride=1, name="inp_reinf_cb")(r, train=train)
+            out = out + r
+
+        return PReLU(nout, name="act")(out)

@@ -1,0 +1,95 @@
+"""Efficient pyramid pooling decoder blocks (reference layer L1, SURVEY.md §2
+"Efficient pyramid pool": PSP-style decoder module — projection conv,
+multi-scale depthwise branches, merge, classify).
+
+`EfficientPyrPool`: project to a small channel count, run a depthwise 3x3 at
+several spatial scales (up/down-sampled copies of the feature map), resize all
+branches back, concat, channel-shuffle, grouped 3x3 merge, 1x1 classify.
+`EfficientPWC`: pointwise expansion gated by a global-context sigmoid (used to
+merge encoder skips into the decoder path).
+
+Scale resampling uses the matmul-based resize/adaptive-pool ops from
+`mspl_tpu.ops.resize` so the whole block stays MXU/VPU friendly; bilinear
+branches use align_corners=True to match the reference decoder convention
+(SURVEY.md §7 "Resize parity").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mspl_tpu.layers.conv_blocks import BR, C, CB, CBR
+from mspl_tpu.ops.resize import adaptive_avg_pool, resize_bilinear
+
+
+def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Interleave channels across `groups` (reference `Shuffle`)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, groups, c // groups)
+    x = jnp.swapaxes(x, -1, -2)
+    return x.reshape(b, h, w, c)
+
+
+class EfficientPyrPool(nn.Module):
+    proj_features: int
+    out_features: int
+    scales: Tuple[float, ...] = (2.0, 1.5, 1.0, 0.5, 0.1)
+    last_layer_br: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        p = self.proj_features
+        scales = tuple(sorted(self.scales, reverse=True))
+        x = CBR(p, kernel_size=1, stride=1, name="proj")(x, train=train)
+        h, w = x.shape[1], x.shape[2]
+
+        branches = []
+        for i, s in enumerate(scales):
+            hs = max(int(math.ceil(h * s)), 5)
+            ws = max(int(math.ceil(w * s)), 5)
+            if s < 1.0:
+                y = adaptive_avg_pool(x, (hs, ws))
+            elif s > 1.0:
+                y = resize_bilinear(x, (hs, ws), align_corners=True)
+            else:
+                y = x
+            y = C(p, kernel_size=3, stride=1, groups=p, name=f"dw_s{i}")(y)
+            if s != 1.0:
+                y = resize_bilinear(y, (h, w), align_corners=True)
+            branches.append(y)
+
+        out = jnp.concatenate(branches, axis=-1)
+        out = BR(out.shape[-1], name="merge_br")(out, train=train)
+        out = channel_shuffle(out, groups=len(scales))
+        out = CBR(p, kernel_size=3, stride=1, groups=p, name="merge_cbr")(
+            out, train=train
+        )
+        out = C(
+            self.out_features, kernel_size=1, stride=1,
+            use_bias=not self.last_layer_br, name="classify",
+        )(out)
+        if self.last_layer_br:
+            out = BR(self.out_features, name="last_br")(out, train=train)
+        return out
+
+
+class EfficientPWC(nn.Module):
+    """Efficient pointwise expansion with a global-context sigmoid gate."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        nin, nout = x.shape[-1], self.out_features
+        gate = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
+        gate = C(nout, kernel_size=1, stride=1, name="wt_conv")(gate)
+        gate = nn.sigmoid(gate)
+        groups = math.gcd(nin, nout)
+        out = CBR(nout, kernel_size=3, stride=1, groups=groups, name="expand")(
+            x, train=train
+        )
+        return out * gate

@@ -1,0 +1,172 @@
+"""ESPNetv2 classification backbone and segmentation model (reference layer
+L2, SURVEY.md §2 "ESPNetv2 classification backbone" / "ESPNetv2 segmentation
+model"; architecture per SURVEY.md Appendix A and the ESPNetv2 paper
+arXiv:1811.11431).
+
+Backbone (`EESPNet`): init 3x3/s2 conv → 4 downsampling stages (DownSampler +
+EESP repeats ≈ [0,3,7,3]) with RGB input reinforcement on the first three
+downsamplers, width controlled by scaler `s`; classification head = depthwise
++ grouped-pointwise expansion → GAP → dropout → linear (used only for
+ImageNet-style pretraining of the encoder).
+
+Segmentation (`ESPNetv2Segmentation`): encoder taps at 1/2, 1/4, 1/8, 1/16 →
+bottom-up decoder: EfficientPyrPool at 1/16 → (bilinear x2, EfficientPWC skip
+merge, EfficientPyrPool) at 1/8 and 1/4 → merge with the 1/2 features → final
+EfficientPyrPool to `num_classes` logits → bilinear x2 to input resolution.
+All upsampling is align_corners=True bilinear (SURVEY.md §7 "Resize parity").
+
+TPU-first design notes: NHWC layout; all ops static-shaped and jit-friendly;
+`compute_dtype=bfloat16` runs the conv stack in bf16 while keeping params and
+BN statistics in fp32 (bf16 inputs are cast at entry, logits are returned in
+fp32 for the softmax/fusion stage).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mspl_tpu.layers.conv_blocks import CBR
+from mspl_tpu.layers.eesp import EESP, DownSampler
+from mspl_tpu.layers.pyramid_pool import EfficientPWC, EfficientPyrPool
+from mspl_tpu.ops.resize import resize_bilinear
+
+
+def eespnet_channel_plan(s: float) -> Tuple[int, ...]:
+    """Stage channel plan for width scaler `s` (SURVEY.md §2: e.g. s=2.0 →
+    32,128,256,512,1024 encoder + 1280 classifier expansion)."""
+    k = 4
+    base = 32
+    base_s = int(math.ceil(int(base * s) / k) * k)
+    c0 = base if base_s > base else base_s
+    plan = [c0] + [base_s * (2 ** i) for i in range(1, 5)]
+    plan.append(1024 if s <= 1.5 else 1280)
+    return tuple(plan)
+
+
+# per-stage branch counts and receptive-field limits (SURVEY.md App. A; the
+# dilation schedule shrinks with depth as feature maps get smaller)
+_STAGE_K = (4, 4, 4, 4, 4)
+_STAGE_RLIM = (13, 11, 9, 7, 5)
+_STAGE_REPS = (0, 3, 7, 3)
+
+
+class EESPNet(nn.Module):
+    """ESPNetv2 classification backbone / segmentation encoder.
+
+    `encode(x)` returns the stride-2/4/8/16 taps for segmentation decoders;
+    `__call__(x)` runs the full classification head.  Submodules are defined
+    in `setup` so both entry points share the encoder parameters; head
+    modules left uncalled (e.g. level5 under a seg decoder) allocate nothing.
+    """
+
+    s: float = 2.0
+    num_classes: int = 1000
+    reinf: bool = True
+    drop_rate: float = 0.2
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = eespnet_channel_plan(self.s)
+        self.level1 = CBR(cfg[0], kernel_size=3, stride=2)
+        self.level2_0 = DownSampler(cfg[1], k=_STAGE_K[0], r_lim=_STAGE_RLIM[0],
+                                    reinf=self.reinf)
+        self.level3_0 = DownSampler(cfg[2], k=_STAGE_K[1], r_lim=_STAGE_RLIM[1],
+                                    reinf=self.reinf)
+        self.level3_blocks = [
+            EESP(cfg[2], k=_STAGE_K[2], r_lim=_STAGE_RLIM[2])
+            for _ in range(_STAGE_REPS[1])
+        ]
+        self.level4_0 = DownSampler(cfg[3], k=_STAGE_K[2], r_lim=_STAGE_RLIM[2],
+                                    reinf=self.reinf)
+        self.level4_blocks = [
+            EESP(cfg[3], k=_STAGE_K[3], r_lim=_STAGE_RLIM[3])
+            for _ in range(_STAGE_REPS[2])
+        ]
+        # classification-only tail
+        self.level5_0 = DownSampler(cfg[4], k=_STAGE_K[3], r_lim=_STAGE_RLIM[3],
+                                    reinf=False)
+        self.level5_blocks = [
+            EESP(cfg[4], k=_STAGE_K[4], r_lim=_STAGE_RLIM[4])
+            for _ in range(_STAGE_REPS[3])
+        ]
+        self.level5_dw = CBR(cfg[4], kernel_size=3, stride=1, groups=cfg[4])
+        self.level5_exp = CBR(cfg[5], kernel_size=1, stride=1, groups=_STAGE_K[4])
+        self.dropout = nn.Dropout(rate=self.drop_rate)
+        self.classifier = nn.Dense(self.num_classes)
+
+    def encode(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Encoder taps at strides 2, 4, 8, 16."""
+        img = x.astype(self.compute_dtype)
+        l1 = self.level1(img, train=train)
+        l2 = self.level2_0(l1, img, train=train)
+        l3 = self.level3_0(l2, img, train=train)
+        for blk in self.level3_blocks:
+            l3 = blk(l3, train=train)
+        l4 = self.level4_0(l3, img, train=train)
+        for blk in self.level4_blocks:
+            l4 = blk(l4, train=train)
+        return l1, l2, l3, l4
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Classification forward (ImageNet-style pretraining head)."""
+        _, _, _, l4 = self.encode(x, train=train)
+        l5 = self.level5_0(l4, None, train=train)
+        for blk in self.level5_blocks:
+            l5 = blk(l5, train=train)
+        l5 = self.level5_dw(l5, train=train)
+        l5 = self.level5_exp(l5, train=train)
+        pooled = jnp.mean(l5, axis=(1, 2))
+        pooled = self.dropout(pooled, deterministic=not train)
+        return self.classifier(pooled).astype(jnp.float32)
+
+
+class ESPNetv2Segmentation(nn.Module):
+    """ESPNetv2 semantic segmentation model (encoder + bottom-up decoder)."""
+
+    num_classes: int
+    s: float = 2.0
+    dec_base_planes: int = 16
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        enc = EESPNet(s=self.s, reinf=True, compute_dtype=self.compute_dtype,
+                      name="base_net")
+        l1, l2, l3, l4 = enc.encode(x, train=train)
+
+        bp = self.dec_base_planes
+        dec_planes = (4 * bp, 3 * bp, 2 * bp, self.num_classes)
+        # projection width of the pyramid-pool branches; floor of 8 keeps the
+        # depthwise pyramid wide enough for tiny target label spaces
+        proj = min(bp, max(self.num_classes // 2, 8))
+
+        def up_to(t, like):
+            # upsample to the skip tap's spatial size (handles odd sizes where
+            # a pure x2 upsample would be off by one, e.g. 45 -> 23 -> 45)
+            return resize_bilinear(t, (like.shape[1], like.shape[2]),
+                                   align_corners=True)
+
+        out = EfficientPyrPool(proj, dec_planes[0], name="bu_dec_l1")(l4, train=train)
+
+        out = up_to(out, l3)
+        out = out + EfficientPWC(dec_planes[0], name="merge_l2")(l3, train=train)
+        out = EfficientPyrPool(proj, dec_planes[1], name="bu_dec_l2")(out, train=train)
+
+        out = up_to(out, l2)
+        out = out + EfficientPWC(dec_planes[1], name="merge_l3")(l2, train=train)
+        out = EfficientPyrPool(proj, dec_planes[2], name="bu_dec_l3")(out, train=train)
+
+        out = up_to(out, l1)
+        out = out + EfficientPWC(dec_planes[2], name="merge_l4")(l1, train=train)
+        out = EfficientPyrPool(
+            proj, dec_planes[3], last_layer_br=False, name="bu_dec_l4"
+        )(out, train=train)
+
+        out = resize_bilinear(out, (x.shape[1], x.shape[2]), align_corners=True)
+        return out.astype(jnp.float32)
