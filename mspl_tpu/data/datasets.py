@@ -1,0 +1,206 @@
+"""Dataset registry (reference layer L3, SURVEY.md §2 dataset rows).
+
+File-list based segmentation datasets: CamVid, Cityscapes, Freiburg Forest
+(sources) and Greenhouse (target).  As in the reference, each dataset is
+driven by a plain text list file with one `image_path<sep>label_path` pair per
+line (sep = whitespace or comma), paths relative to `root` — the same list
+format the reference's pseudo-label generator appends to (SURVEY.md §3.2
+"append to pseudo-label train list").
+
+Design split host/device: PIL is used ONLY at the file edge (decode + one
+resize to the dataset's canonical size so batches are uniform); every other
+transform (normalize, random scale/crop/flip) runs on-device via
+`mspl_tpu.data.transforms` (SURVEY.md §7 stage 4: "device-side
+decode→resize→normalize→crop→flip ... PIL only at the file edge").
+
+`GreenhouseRGBD` supports an unlabeled mode (pseudo-label targets don't exist
+yet: labels come back all-ignore) and reads pseudo-label PNGs written by the
+pseudo-label engine during self-training rounds (SURVEY.md §2 "Dataset:
+Greenhouse").  `SyntheticSegmentation` generates deterministic procedural
+scenes so every pipeline stage is testable with no datasets on disk
+(SURVEY.md §4: "tests must synthesize images").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mspl_tpu.data.label_space import CITYSCAPES_ID_TO_TRAINID
+from mspl_tpu.utils.registry import IGNORE_LABEL, DatasetInfo, dataset_info
+
+
+def _read_list_file(root: str, list_file: str) -> List[Tuple[str, Optional[str]]]:
+    pairs: List[Tuple[str, Optional[str]]] = []
+    with open(list_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.replace(",", " ").split()
+            img = parts[0]
+            lab = parts[1] if len(parts) > 1 else None
+            if not os.path.isabs(img):
+                img = os.path.join(root, img)
+            if lab is not None and not os.path.isabs(lab):
+                lab = os.path.join(root, lab)
+            pairs.append((img, lab))
+    return pairs
+
+
+def _load_image(path: str, size_wh: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if im.size != size_wh:
+            im = im.resize(size_wh, Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
+def _load_label(path: str, size_wh: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode not in ("L", "P", "I"):
+            im = im.convert("L")
+        if im.size != size_wh:
+            im = im.resize(size_wh, Image.NEAREST)
+        arr = np.asarray(im)
+        return arr.astype(np.uint8) if arr.dtype != np.uint8 else arr
+
+
+class SegmentationDataset:
+    """Base file-list dataset: `load(i)` → (uint8 [H,W,3] image,
+    uint8 [H,W] label with 255=ignore)."""
+
+    def __init__(
+        self,
+        info: DatasetInfo,
+        root: str,
+        list_file: str,
+        size_wh: Optional[Tuple[int, int]] = None,
+    ):
+        self.info = info
+        self.root = root
+        self.size_wh = tuple(size_wh or info.size_wh)
+        self.pairs = _read_list_file(root, list_file)
+        if not self.pairs:
+            raise ValueError(f"empty list file: {list_file}")
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    @property
+    def shape_hw(self) -> Tuple[int, int]:
+        return (self.size_wh[1], self.size_wh[0])
+
+    @property
+    def num_classes(self) -> int:
+        return self.info.num_classes
+
+    def _convert_raw_label(self, label: np.ndarray) -> np.ndarray:
+        return label
+
+    def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        img_path, lab_path = self.pairs[i]
+        img = _load_image(img_path, self.size_wh)
+        if lab_path is None:
+            lab = np.full(self.shape_hw, IGNORE_LABEL, np.uint8)
+        else:
+            lab = self._convert_raw_label(_load_label(lab_path, self.size_wh))
+        return img, lab
+
+
+class CamVidSegmentation(SegmentationDataset):
+    def __init__(self, root: str, list_file: str, size_wh=None):
+        super().__init__(dataset_info("camvid"), root, list_file, size_wh)
+
+
+class CityscapesSegmentation(SegmentationDataset):
+    def __init__(self, root: str, list_file: str, size_wh=None, raw_ids: bool = False):
+        super().__init__(dataset_info("cityscapes"), root, list_file, size_wh)
+        self.raw_ids = raw_ids
+
+    def _convert_raw_label(self, label: np.ndarray) -> np.ndarray:
+        if self.raw_ids:  # stock labelIds PNGs → train ids
+            return CITYSCAPES_ID_TO_TRAINID[label.astype(np.int32)].astype(np.uint8)
+        return label
+
+
+class FreiburgForestSegmentation(SegmentationDataset):
+    def __init__(self, root: str, list_file: str, size_wh=None):
+        super().__init__(dataset_info("forest"), root, list_file, size_wh)
+
+
+class GreenhouseRGBD(SegmentationDataset):
+    """Target-domain dataset; labels are optional (unlabeled target images)
+    or pseudo-label PNGs produced by the pseudo-label engine."""
+
+    def __init__(self, root: str, list_file: str, size_wh=None):
+        super().__init__(dataset_info("greenhouse"), root, list_file, size_wh)
+
+
+class SyntheticSegmentation:
+    """Deterministic procedural scenes for tests/benchmarks: colored
+    rectangles + background; labels follow the rectangle layout exactly,
+    so a reasonable model can fit them and mIoU can approach 1."""
+
+    def __init__(
+        self,
+        num_classes: int = 4,
+        size_wh: Tuple[int, int] = (64, 48),
+        length: int = 32,
+        seed: int = 0,
+        unlabeled: bool = False,
+    ):
+        self.info = DatasetInfo(name="synthetic", num_classes=num_classes,
+                                size_wh=size_wh)
+        self.size_wh = size_wh
+        self.length = length
+        self.seed = seed
+        self.unlabeled = unlabeled
+        self.num_classes = num_classes
+        # distinct mean color per class so the task is learnable
+        rng = np.random.default_rng(12345)
+        self.palette = rng.integers(40, 215, size=(num_classes, 3)).astype(np.uint8)
+
+    def __len__(self) -> int:
+        return self.length
+
+    @property
+    def shape_hw(self) -> Tuple[int, int]:
+        return (self.size_wh[1], self.size_wh[0])
+
+    def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = self.shape_hw
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        label = np.zeros((h, w), np.uint8)
+        img = np.zeros((h, w, 3), np.float32)
+        img += self.palette[0]
+        for _ in range(4):
+            c = int(rng.integers(1, self.num_classes))
+            y0, x0 = int(rng.integers(0, h // 2)), int(rng.integers(0, w // 2))
+            y1 = int(rng.integers(y0 + h // 8, h))
+            x1 = int(rng.integers(x0 + w // 8, w))
+            label[y0:y1, x0:x1] = c
+            img[y0:y1, x0:x1] = self.palette[c]
+        img += rng.normal(0, 8, size=img.shape)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        if self.unlabeled:
+            label = np.full((h, w), IGNORE_LABEL, np.uint8)
+        return img, label
+
+
+def build_dataset(name: str, root: str, list_file: str, size_wh=None):
+    ctor = {
+        "camvid": CamVidSegmentation,
+        "cityscapes": CityscapesSegmentation,
+        "forest": FreiburgForestSegmentation,
+        "greenhouse": GreenhouseRGBD,
+    }
+    if name not in ctor:
+        raise ValueError(f"unknown dataset '{name}'; have {sorted(ctor)}")
+    return ctor[name](root, list_file, size_wh)
