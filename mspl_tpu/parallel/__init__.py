@@ -1,0 +1,7 @@
+from mspl_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate"]

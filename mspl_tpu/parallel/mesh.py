@@ -1,0 +1,62 @@
+"""Device mesh and sharding helpers (SURVEY.md §2 parallelism table).
+
+The reference's only parallelism is single-process data parallelism
+(`nn.DataParallel`) — no NCCL/MPI/process groups (SURVEY.md §5 "Distributed
+communication backend: None").  TPU-native, parallelism is declarative:
+
+* mesh axis `data`   — batch sharding for training and pseudo-label
+  generation; gradient/metric reductions become XLA `psum` over ICI;
+* mesh axis `model`  — source-model parallelism for multi-source fusion:
+  each `model` slice holds one source network and the fused probability
+  average is a `psum`/mean over the axis (see mspl_tpu/pseudo/generate.py).
+
+Everything runs through `jax.jit` + `NamedSharding` (GSPMD): we annotate
+input shardings; XLA inserts the collectives.  A consequence vs the
+reference: BatchNorm batch statistics are computed over the *global* batch
+(synced BN) rather than per-replica — SURVEY.md §7 "BN under pmap" allows
+this as the sync flag's default-on behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a ('model', 'data') mesh.
+
+    `model` is the number of source-model slices (1 = pure DP); `data` is
+    inferred from the device count when None.  The `data` axis is placed
+    innermost so gradient all-reduces ride adjacent-ICI links.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if data is None:
+        if n % model:
+            raise ValueError(f"device count {n} not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {model}x{data} needs {model * data} devices, have {n}")
+    grid = np.asarray(devs[: data * model]).reshape(model, data)
+    return Mesh(grid, axis_names=("model", "data"))
+
+
+def shard_batch(batch: Dict, mesh: Mesh):
+    """Put a host batch onto the mesh sharded along leading dim over 'data'
+    (replicated over 'model')."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/opt state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

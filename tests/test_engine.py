@@ -1,0 +1,154 @@
+"""Training engine tests: loss parity vs torch, mIoU correctness, schedules,
+and the stage-5 gate — a small synthetic training run must learn
+(SURVEY.md §7 stage 5: 'CamVid training run learns (loss ↓, mIoU ↑)')."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mspl_tpu.data.datasets import SyntheticSegmentation
+from mspl_tpu.data.loader import DataLoader
+from mspl_tpu.engine.losses import compute_class_weights, segmentation_loss
+from mspl_tpu.engine.metrics import MIOU, confusion_matrix, iou_from_confusion
+from mspl_tpu.engine.schedules import build_schedule
+from mspl_tpu.engine.train import (
+    TrainLoopConfig,
+    build_optimizer,
+    create_train_state,
+    evaluate,
+    make_eval_step,
+    make_train_step,
+    train_segmentation,
+)
+from mspl_tpu.models import ESPNetv2Segmentation, init_model
+from mspl_tpu.utils.registry import IGNORE_LABEL
+
+
+def test_ce_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 6, 7, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, size=(2, 6, 7)).astype(np.int32)
+    labels[0, 0, :3] = IGNORE_LABEL
+    weights = rng.uniform(0.5, 2.0, size=5).astype(np.float32)
+
+    ours = float(segmentation_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                   class_weights=jnp.asarray(weights)))
+    t = F.cross_entropy(
+        torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))),
+        torch.from_numpy(labels.astype(np.int64)),
+        weight=torch.from_numpy(weights),
+        ignore_index=IGNORE_LABEL,
+    )
+    np.testing.assert_allclose(ours, float(t), rtol=1e-5)
+
+    # unweighted too
+    ours_u = float(segmentation_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    t_u = F.cross_entropy(
+        torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))),
+        torch.from_numpy(labels.astype(np.int64)),
+        ignore_index=IGNORE_LABEL,
+    )
+    np.testing.assert_allclose(ours_u, float(t_u), rtol=1e-5)
+
+
+def test_regularizers_change_loss_in_right_direction():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(1, 4, 4, 3)).astype(np.float32) * 5  # confident
+    labels = np.argmax(logits, -1).astype(np.int32)
+    base = float(segmentation_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    kld = float(segmentation_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                  reg_mode="kld", reg_weight=1.0))
+    ent = float(segmentation_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                  reg_mode="ent", reg_weight=1.0))
+    # confident predictions are penalized by both confidence regularizers
+    assert kld > base
+    assert ent < base + 1e-6  # negative entropy of confident preds is ~0-bounded below
+
+
+def test_batch_mask_excludes_padded_rows():
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(2, 4, 4)).astype(np.int32)
+    full = segmentation_loss(jnp.asarray(logits), jnp.asarray(labels))
+    masked = segmentation_loss(
+        jnp.asarray(logits), jnp.asarray(labels),
+        batch_mask=jnp.asarray([True, False]),
+    )
+    only0 = segmentation_loss(jnp.asarray(logits[:1]), jnp.asarray(labels[:1]))
+    np.testing.assert_allclose(float(masked), float(only0), rtol=1e-6)
+    assert abs(float(masked) - float(full)) > 1e-8
+
+
+def test_class_weights_formula():
+    hist = np.array([100, 10, 1], np.float64)
+    w = compute_class_weights(hist)
+    assert w[2] > w[1] > w[0] > 0
+
+
+def test_confusion_matrix_and_miou():
+    pred = np.array([[0, 1], [2, 1]], np.int32)
+    label = np.array([[0, 1], [1, IGNORE_LABEL]], np.int32)
+    cm = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(label), 3))
+    expected = np.zeros((3, 3))
+    expected[0, 0] = 1  # correct 0
+    expected[1, 1] = 1  # correct 1
+    expected[1, 2] = 1  # true 1 pred 2
+    np.testing.assert_array_equal(cm, expected)
+    iou, miou = iou_from_confusion(cm)
+    np.testing.assert_allclose(iou[0], 1.0)
+    np.testing.assert_allclose(iou[1], 0.5)  # tp=1, fn=1
+    assert np.isnan(iou[2]) or iou[2] == 0.0  # class 2: tp=0, fp=1 -> 0
+
+    acc = MIOU(3)
+    acc.update_preds(pred, label)
+    acc.update_preds(pred, label)
+    _, miou2 = acc.get_iou()
+    np.testing.assert_allclose(miou2, miou, rtol=1e-6)
+
+
+def test_schedules():
+    total = 100
+    for name in ("poly", "step", "cyclic", "hybrid", "linear", "fixed"):
+        sched = build_schedule(name, 0.1, total, steps_per_epoch=10)
+        v0 = float(sched(0))
+        v_end = float(sched(total - 1))
+        assert v0 >= 0 and v_end >= 0
+    poly = build_schedule("poly", 0.1, total)
+    assert float(poly(0)) == pytest.approx(0.1, rel=1e-5)
+    assert float(poly(99)) < 0.01
+    lin = build_schedule("linear", 0.1, total)
+    assert float(lin(50)) == pytest.approx(0.05, rel=1e-4)
+
+
+@pytest.mark.slow
+def test_synthetic_training_learns(tmp_path):
+    """Stage-5 gate: tiny ESPNetv2 fits the synthetic dataset; loss drops,
+    mIoU beats chance; checkpoint resume restores state."""
+    ds = SyntheticSegmentation(num_classes=4, size_wh=(48, 32), length=16, seed=1)
+    val = SyntheticSegmentation(num_classes=4, size_wh=(48, 32), length=8, seed=2)
+    train_loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+    val_loader = DataLoader(val, batch_size=8)
+
+    model = ESPNetv2Segmentation(num_classes=4, s=0.5, dec_base_planes=8)
+    variables = init_model(model, (32, 48))
+    cfg = TrainLoopConfig(
+        epochs=14, crop_hw=(32, 48), scale_range=(0.9, 1.1), lr=0.01,
+        scheduler="fixed", optimizer="adam", weight_decay=1e-5,
+        ckpt_dir=str(tmp_path / "ckpt"), verbose=False, seed=0,
+    )
+    res = train_segmentation(model, variables, train_loader, val_loader,
+                             num_classes=4, cfg=cfg)
+    losses = [h["loss"] for h in res["history"]]
+    assert losses[-1] < losses[0] * 0.8, f"no learning: {losses}"
+    assert res["best_miou"] > 0.35, f"mIoU too low: {res['best_miou']}"
+
+    # resume path restores epoch counter and best metric
+    cfg2 = TrainLoopConfig(**{**cfg.__dict__, "epochs": 15, "resume": True})
+    res2 = train_segmentation(model, variables, train_loader, val_loader,
+                              num_classes=4, cfg=cfg2)
+    assert len(res2["history"]) == 1  # only the one extra epoch ran
+    assert res2["best_miou"] >= res["best_miou"] - 1e-6
