@@ -1,0 +1,152 @@
+"""Pseudo-label engine tests (SURVEY.md §7 stage 6 gate: property tests +
+golden behavior; §4 property list: fusion permutation-invariant, threshold
+monotone in tau, LUT conversion preserves mass)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mspl_tpu.data.label_space import label_conversion_matrix
+from mspl_tpu.pseudo.cbst import (
+    class_confidence_histograms,
+    kc_from_histograms,
+    sweep_kc,
+)
+from mspl_tpu.pseudo.generate import SourceModel, convert_probs, fused_pseudo_pass
+from mspl_tpu.utils.registry import IGNORE_LABEL
+
+
+def _rand_logits(rng, b, h, w, c):
+    return jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32) * 2)
+
+
+def _setup(rng, n_models=3):
+    datasets = ["camvid", "cityscapes", "forest"][:n_models]
+    convs = [label_conversion_matrix(d) for d in datasets]
+    logits = [_rand_logits(rng, 2, 8, 10, m.shape[0]) for m in convs]
+    return logits, convs
+
+
+def test_soft_fusion_matches_manual():
+    rng = np.random.default_rng(0)
+    logits, convs = _setup(rng)
+    label, conf = fused_pseudo_pass(logits, convs, mode="soft")
+    # manual numpy computation
+    qs = []
+    for lg, m in zip(logits, convs):
+        x = np.asarray(lg, np.float64)
+        p = np.exp(x - x.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        qs.append(p @ np.asarray(m, np.float64))
+    fused = np.mean(qs, axis=0)[..., :3]
+    np.testing.assert_array_equal(np.asarray(label), fused.argmax(-1))
+    np.testing.assert_allclose(np.asarray(conf), fused.max(-1), rtol=1e-5)
+
+
+def test_fusion_permutation_invariant():
+    rng = np.random.default_rng(1)
+    logits, convs = _setup(rng)
+    l1, c1 = fused_pseudo_pass(logits, convs, mode="soft")
+    perm = [2, 0, 1]
+    l2, c2 = fused_pseudo_pass([logits[i] for i in perm],
+                               [convs[i] for i in perm], mode="soft")
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+
+def test_threshold_monotone_in_tau():
+    rng = np.random.default_rng(2)
+    logits, convs = _setup(rng)
+    kept = []
+    for tau in (0.0, 0.3, 0.5, 0.7, 0.95):
+        lab, _ = fused_pseudo_pass(logits, convs, mode="soft",
+                                   kc=jnp.full((3,), tau))
+        kept.append(int((np.asarray(lab) != IGNORE_LABEL).sum()))
+    assert all(a >= b for a, b in zip(kept, kept[1:])), kept
+    assert kept[0] == np.prod((2, 8, 10))  # tau=0 keeps everything
+
+
+def test_per_class_kc_thresholds_apply_per_class():
+    rng = np.random.default_rng(3)
+    logits, convs = _setup(rng)
+    lab_all, conf = fused_pseudo_pass(logits, convs, mode="soft")
+    kc = np.array([0.0, 1.0, 0.0], np.float32)  # kill class 1 only
+    lab, _ = fused_pseudo_pass(logits, convs, mode="soft", kc=jnp.asarray(kc))
+    lab, lab_all = np.asarray(lab), np.asarray(lab_all)
+    assert not (lab == 1).any()
+    keep_mask = lab != IGNORE_LABEL
+    np.testing.assert_array_equal(lab[keep_mask], lab_all[keep_mask])
+    assert (lab_all[~keep_mask] == 1).all()
+
+
+def test_hard_fusion_agreement():
+    # 3 "models" in the same 3-class space with identity conversion
+    ident = label_conversion_matrix("greenhouse")
+    big = 50.0
+    # pixel 0: all agree class 2; pixel 1: 2 vs 1 split; pixel 2: 1/1/1 split
+    def mk(l0, l1, l2):
+        x = np.full((1, 1, 3, 3), -big, np.float32)
+        for i, l in enumerate((l0, l1, l2)):
+            x[0, 0, i, l] = big
+        return jnp.asarray(x)
+
+    logits = [mk(2, 0, 0), mk(2, 0, 1), mk(2, 1, 2)]
+    lab, conf = fused_pseudo_pass(logits, [ident] * 3, mode="hard")
+    lab, conf = np.asarray(lab), np.asarray(conf)
+    assert lab[0, 0, 0] == 2 and conf[0, 0, 0] == pytest.approx(1.0)
+    assert lab[0, 0, 1] == 0 and conf[0, 0, 1] == pytest.approx(2 / 3)
+    assert lab[0, 0, 2] == IGNORE_LABEL  # 1/1/1 tie < strict majority 2
+
+    # unanimity requirement drops the 2/3 pixel too
+    lab3, _ = fused_pseudo_pass(logits, [ident] * 3, mode="hard", min_agree=3)
+    assert np.asarray(lab3)[0, 0, 1] == IGNORE_LABEL
+
+
+def test_convert_probs_mass_and_shapes():
+    rng = np.random.default_rng(4)
+    m = label_conversion_matrix("cityscapes")
+    x = rng.normal(size=(2, 4, 4, 19)).astype(np.float32)
+    p = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
+    q = np.asarray(convert_probs(jnp.asarray(p), m))
+    np.testing.assert_allclose(q.sum(-1), 1.0, rtol=1e-5)  # mass preserved
+    assert q.shape == (2, 4, 4, 4)
+
+
+def test_kc_histogram_vs_exact_sort():
+    rng = np.random.default_rng(5)
+    n = 20000
+    labels = rng.integers(0, 3, size=n).astype(np.int32)
+    confs = rng.beta(5, 2, size=n).astype(np.float32)
+    labels[:100] = IGNORE_LABEL
+    for p in (0.2, 0.5, 0.8):
+        kc = sweep_kc(labels, confs, 3, p)
+        for c in range(3):
+            pop = np.sort(confs[labels == c])[::-1]
+            exact = pop[min(int(p * len(pop)), len(pop) - 1)]
+            assert abs(kc[c] - exact) < 2e-3, (c, p, kc[c], exact)
+        # thresholding with kc keeps ~p of each class
+        for c in range(3):
+            sel = (labels == c) & (confs >= kc[c])
+            frac = sel.sum() / (labels == c).sum()
+            assert abs(frac - p) < 0.02
+
+
+def test_kc_edge_cases():
+    hist = np.zeros((3, 64))
+    hist[0, 60] = 10  # all of class 0 confident
+    kc = kc_from_histograms(hist, 0.5)
+    assert kc[1] == 0.0 and kc[2] == 0.0  # empty classes keep everything
+    assert 0.9 < kc[0] <= 0.95
+    assert (kc_from_histograms(hist, 1.0) == 0).all()
+
+
+def test_histograms_device_accumulation():
+    rng = np.random.default_rng(6)
+    lab = jnp.asarray(rng.integers(0, 4, size=(2, 8, 8)).astype(np.int32))
+    conf = jnp.asarray(rng.uniform(size=(2, 8, 8)).astype(np.float32))
+    h = np.asarray(class_confidence_histograms(lab, conf, 4, 128))
+    assert h.shape == (4, 128)
+    assert h.sum() == 2 * 8 * 8
+    for c in range(4):
+        assert h[c].sum() == int((np.asarray(lab) == c).sum())

@@ -1,0 +1,99 @@
+"""Self-training orchestrator end-to-end smoke test (config #4/#5 shape,
+SURVEY.md §3.3): generate -> class-balanced threshold -> fine-tune -> eval,
+multi-round with growing p and ensemble growth."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mspl_tpu.data.datasets import SyntheticSegmentation
+from mspl_tpu.data.loader import DataLoader
+from mspl_tpu.models import ESPNetv2Segmentation, init_model
+from mspl_tpu.pseudo.generate import SourceModel
+from mspl_tpu.pseudo.self_training import (
+    PseudoLabeledDataset,
+    SelfTrainConfig,
+    self_training,
+)
+from mspl_tpu.utils.registry import IGNORE_LABEL, IMAGENET_MEAN, IMAGENET_STD
+
+NUM_CLASSES = 4
+
+
+def _identity_conversion(t=NUM_CLASSES):
+    return np.concatenate([np.eye(t, dtype=np.float32),
+                           np.zeros((t, 1), np.float32)], axis=1)
+
+
+def _palette_source(palette, sharp=4.0, name="oracle"):
+    """Synthetic 'source model': logits from color distance to the class
+    palette (the synthetic dataset paints classes with these colors)."""
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    pal = jnp.asarray(palette, jnp.float32) / 255.0
+
+    def apply_fn(imgs_norm):
+        rgb = imgs_norm * std + mean  # back to [0,1]
+        d2 = ((rgb[..., None, :] - pal) ** 2).sum(-1)  # [B,H,W,T]
+        return -sharp * d2 * 100.0
+
+    return SourceModel(name=name, apply_fn=apply_fn,
+                       conversion=_identity_conversion())
+
+
+@pytest.mark.slow
+def test_self_training_rounds(tmp_path):
+    target = SyntheticSegmentation(num_classes=NUM_CLASSES, size_wh=(48, 32),
+                                   length=16, seed=3, unlabeled=True)
+    # labeled val set from the same distribution
+    val = SyntheticSegmentation(num_classes=NUM_CLASSES, size_wh=(48, 32),
+                                length=8, seed=4)
+    val_loader = DataLoader(val, batch_size=8)
+
+    sources = [
+        _palette_source(target.palette, sharp=4.0, name="src_a"),
+        _palette_source(target.palette, sharp=2.0, name="src_b"),
+    ]
+    model = ESPNetv2Segmentation(num_classes=NUM_CLASSES, s=0.5,
+                                 dec_base_planes=8)
+    variables = init_model(model, (32, 48))
+
+    cfg = SelfTrainConfig(
+        rounds=2, p_init=0.5, p_step=0.2, fusion="soft", batch_size=8,
+        epochs_per_round=6, crop_hw=(32, 48), scale_range=(0.9, 1.1),
+        lr=0.01, optimizer="adam", scheduler="fixed",
+        reg_mode="kld", reg_weight=0.05,
+        out_dir=str(tmp_path / "labels"), ckpt_dir=str(tmp_path / "ckpt"),
+        verbose=False,
+    )
+    res = self_training(model, variables, sources, target, val_loader,
+                        NUM_CLASSES, cfg)
+
+    assert len(res["history"]) == 2
+    h0, h1 = res["history"]
+    # p grows, ensemble grows (target model joins in round 1)
+    assert h1["p"] > h0["p"]
+    assert h1["n_sources"] == h0["n_sources"] + 1
+    # kept fraction responds to class balancing but stays meaningful
+    assert 0.2 < h0["frac_kept"] <= 1.0
+    # the oracle sources make pseudo-labels good; model should adapt
+    assert res["best_miou"] > 0.35, res["history"]
+
+    # round artifacts on disk (PNG labels + train list, reference format)
+    import os
+    r0 = tmp_path / "labels" / "round0"
+    assert (r0 / "train_list.txt").exists()
+    assert len(list(r0.glob("pseudo_*.png"))) == 16
+
+
+def test_pseudo_labeled_dataset_roundtrip():
+    base = SyntheticSegmentation(num_classes=3, size_wh=(16, 12), length=6,
+                                 seed=5, unlabeled=True)
+    labels = np.random.default_rng(0).integers(
+        0, 3, size=(6, 12, 16)).astype(np.int32)
+    indices = np.array([5, 4, 3, 2, 1, 0], np.int32)  # shuffled generation order
+    ds = PseudoLabeledDataset(base, labels, indices)
+    assert len(ds) == 6
+    img, lab = ds.load(0)  # sorted -> original index 0 pairs with labels[5]
+    np.testing.assert_array_equal(img, base.load(0)[0])
+    np.testing.assert_array_equal(lab, labels[5])
