@@ -1,0 +1,90 @@
+"""Headline benchmark: pseudo-label generation images/sec/chip
+(BASELINE.json:2 primary metric).
+
+Workload = BASELINE.json config #3 shape: three ESPNetv2 (s=2.0) source
+models (CamVid 11, Cityscapes 19, Forest 5 classes) run over greenhouse-sized
+target batches (480x256), per-pixel softmax -> label-space conversion ->
+soft fusion -> class-balanced thresholding, all in one jitted pass
+(SURVEY.md §3.2 hot loop).  Models run in bfloat16 (MXU), fusion in fp32.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference recorded no published numbers (BASELINE.md: "none recorded");
+per BASELINE.md the first measured number becomes the operative baseline.
+RECORDED_BASELINE below is that round-1 measurement on one v5e chip —
+vs_baseline therefore tracks improvement across rounds.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# round-1 recorded measurement (images/sec/chip on TPU v5e, this script).
+# None -> report vs_baseline = 1.0 and print the raw number.
+RECORDED_BASELINE = None
+
+BATCH = 8
+HW = (256, 480)  # greenhouse canonical H, W (SURVEY registry: 480x256 WxH)
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: first-ever run pays ~minutes of XLA compiles
+    # (3 large models via the remote-TPU tunnel); subsequent runs are warm
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mspl_tpu.data.label_space import label_conversion_matrix
+    from mspl_tpu.models import ESPNetv2Segmentation, init_model
+    from mspl_tpu.pseudo.generate import fused_pseudo_pass
+
+    rng = jax.random.PRNGKey(0)
+    sources = []
+    for name, classes in (("camvid", 11), ("cityscapes", 19), ("forest", 5)):
+        model = ESPNetv2Segmentation(num_classes=classes, s=2.0,
+                                     compute_dtype=jnp.bfloat16)
+        variables = init_model(model, HW, rng=jax.random.fold_in(rng, classes))
+        sources.append((model, variables, label_conversion_matrix(name)))
+
+    kc = jnp.asarray(np.full(3, 0.5, np.float32))
+
+    @jax.jit
+    def pseudo_batch(imgs):
+        logits = [m.apply(v, imgs, train=False) for m, v, _ in sources]
+        mats = [c for _, _, c in sources]
+        return fused_pseudo_pass(logits, mats, mode="soft", kc=kc)
+
+    imgs = jax.device_put(
+        jax.random.normal(rng, (BATCH, *HW, 3), jnp.float32))
+
+    # warmup / compile
+    for _ in range(WARMUP):
+        lab, conf = pseudo_batch(imgs)
+    jax.block_until_ready((lab, conf))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        lab, conf = pseudo_batch(imgs)
+    jax.block_until_ready((lab, conf))
+    dt = time.perf_counter() - t0
+
+    n_chips = max(jax.device_count(), 1)
+    images_per_sec_per_chip = BATCH * ITERS / dt / n_chips
+    vs = (images_per_sec_per_chip / RECORDED_BASELINE
+          if RECORDED_BASELINE else 1.0)
+    print(json.dumps({
+        "metric": "pseudo_label_gen_images_per_sec_per_chip",
+        "value": round(images_per_sec_per_chip, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

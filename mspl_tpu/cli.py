@@ -1,0 +1,353 @@
+"""Command-line orchestration (reference layer L6, SURVEY.md §1: top-level
+argparse scripts per workload; §3 call stacks).  One CLI with subcommands
+that mirror the reference's script surface and flag names:
+
+  train      — source/target segmentation training        (§3.1)
+  eval       — inference + per-class IoU table            (§3.4, config #1)
+  pseudo     — single/multi-source pseudo-label generation (§3.2, configs #2/#3)
+  selftrain  — multi-round MSPL curriculum                 (§3.3, configs #4/#5)
+  bench      — headline throughput benchmark
+
+Model checkpoints are saved with a JSON meta ({dataset, model, s,
+num_classes}) so downstream commands can rebuild the network without
+repeating flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from mspl_tpu.utils.print_utils import print_info_message
+from mspl_tpu.utils.registry import (
+    FUSION_MODES,
+    MODEL_NAMES,
+    SCHEDULER_NAMES,
+    SEGMENTATION_DATASETS,
+    dataset_info,
+)
+
+MODEL_CKPT = "model_best"
+
+
+def _save_model(ckpt_dir: str, variables: Dict, meta: Dict) -> None:
+    from mspl_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(ckpt_dir, variables, meta, name=MODEL_CKPT)
+
+
+def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
+    """Load a model checkpoint saved by `train`; rebuild the model from its
+    meta.  Returns (model, variables, meta)."""
+    import jax.numpy as jnp
+
+    from mspl_tpu.models import build_segmentation_model, init_model
+    from mspl_tpu.utils.checkpoint import load_checkpoint
+
+    if os.path.isdir(path_or_dir):
+        path = os.path.join(path_or_dir, MODEL_CKPT + ".msgpack")
+    else:
+        path = path_or_dir
+    with open(os.path.splitext(path)[0] + ".json") as f:
+        meta = json.load(f)
+    model = build_segmentation_model(
+        meta["model"], num_classes=meta["num_classes"], s=meta.get("s", 2.0),
+        compute_dtype=jnp.bfloat16 if meta.get("bf16", False) else jnp.float32,
+    )
+    info = dataset_info(meta["dataset"]) if meta.get("dataset") in SEGMENTATION_DATASETS else None
+    hw = meta.get("input_hw") or (
+        (info.size_wh[1], info.size_wh[0]) if info else (256, 480))
+    target = init_model(model, tuple(hw))
+    variables, _ = load_checkpoint(path, target)
+    return model, variables, meta
+
+
+def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="espnetv2", choices=MODEL_NAMES)
+    p.add_argument("--s", type=float, default=2.0, help="ESPNetv2 width scaler")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--crop-size", type=int, nargs=2, default=None,
+                   metavar=("W", "H"))
+    p.add_argument("--size", type=int, nargs=2, default=None,
+                   metavar=("W", "H"),
+                   help="override the dataset's canonical image size")
+    p.add_argument("--lr", type=float, default=0.009)
+    p.add_argument("--scheduler", default="hybrid", choices=SCHEDULER_NAMES)
+    p.add_argument("--optimizer", default="sgd", choices=("sgd", "adam"))
+    p.add_argument("--weight-decay", type=float, default=4e-5)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--bf16", action="store_true",
+                   help="run the conv stack in bfloat16")
+    p.add_argument("--ckpt-dir", default="./runs/ckpt")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_train(args) -> Dict:
+    import jax.numpy as jnp
+
+    from mspl_tpu.data.datasets import build_dataset
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.engine.losses import compute_class_weights
+    from mspl_tpu.engine.train import TrainLoopConfig, train_segmentation
+    from mspl_tpu.models import build_segmentation_model, init_model
+
+    info = dataset_info(args.dataset)
+    size_wh = tuple(args.size) if args.size else None
+    train_ds = build_dataset(args.dataset, args.data_root, args.train_list,
+                             size_wh=size_wh)
+    val_ds = (build_dataset(args.dataset, args.data_root, args.val_list,
+                            size_wh=size_wh)
+              if args.val_list else None)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                              seed=args.seed)
+    val_loader = DataLoader(val_ds, args.batch_size) if val_ds else None
+
+    crop_wh = args.crop_size or size_wh or info.size_wh
+    crop_hw = (crop_wh[1], crop_wh[0])
+    model = build_segmentation_model(
+        args.model, num_classes=info.num_classes, s=args.s,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    variables = init_model(model, train_ds.shape_hw)
+
+    class_weights = None
+    if args.class_weighting:
+        hist = np.zeros(info.num_classes, np.int64)
+        for i in range(min(len(train_ds), 200)):
+            _, lab = train_ds.load(i)
+            h, _ = np.histogram(lab[lab != 255], bins=info.num_classes,
+                                range=(0, info.num_classes))
+            hist += h
+        class_weights = compute_class_weights(hist)
+
+    cfg = TrainLoopConfig(
+        epochs=args.epochs, crop_hw=crop_hw, lr=args.lr,
+        scheduler=args.scheduler, optimizer=args.optimizer,
+        weight_decay=args.weight_decay, seed=args.seed,
+        ckpt_dir=args.ckpt_dir, log_dir=args.log_dir, resume=args.resume,
+    )
+    res = train_segmentation(model, variables, train_loader, val_loader,
+                             info.num_classes, cfg,
+                             class_weights=class_weights)
+    import jax
+
+    state = jax.device_get(res["state"])
+    _save_model(
+        args.ckpt_dir,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        {"dataset": args.dataset, "model": args.model, "s": args.s,
+         "num_classes": info.num_classes, "bf16": args.bf16,
+         "input_hw": list(train_ds.shape_hw),
+         "best_miou": res["best_miou"]},
+    )
+    print_info_message(f"train done; best val mIoU {res['best_miou']:.4f}")
+    return res
+
+
+def cmd_eval(args) -> Dict:
+    from mspl_tpu.data.datasets import build_dataset
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.engine.train import evaluate, make_eval_step
+
+    model, variables, meta = load_model_checkpoint(args.checkpoint)
+    ds = build_dataset(args.dataset or meta["dataset"], args.data_root,
+                       args.val_list,
+                       size_wh=tuple(args.size) if args.size else None)
+    loader = DataLoader(ds, args.batch_size)
+    eval_step = make_eval_step(model, meta["num_classes"])
+    iou, miou = evaluate(eval_step, variables["params"],
+                         variables["batch_stats"], loader,
+                         meta["num_classes"])
+    info = dataset_info(args.dataset or meta["dataset"])
+    names = info.class_names or [str(i) for i in range(meta["num_classes"])]
+    for n, v in zip(names, iou):
+        print(f"  {n:>16s}: IoU {v:.4f}")
+    print_info_message(f"mIoU: {miou:.4f}")
+    return {"iou": iou, "miou": miou}
+
+
+def _load_sources(ckpts, num_target: int):
+    from mspl_tpu.pseudo.generate import make_source
+
+    sources = []
+    for c in ckpts:
+        model, variables, meta = load_model_checkpoint(c)
+        sources.append(
+            make_source(meta["dataset"], model, variables, meta["dataset"],
+                        num_target=num_target)
+        )
+    return sources
+
+
+def cmd_pseudo(args) -> Dict:
+    from mspl_tpu.data.datasets import GreenhouseRGBD
+    from mspl_tpu.data.label_io import save_colorized_png, save_label_png, write_train_list
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.pseudo.cbst import sweep_kc
+    from mspl_tpu.pseudo.generate import generate_pseudo_labels
+    from mspl_tpu.utils.registry import IGNORE_LABEL
+
+    info = dataset_info("greenhouse")
+    t = info.num_classes
+    sources = _load_sources(args.checkpoints, t)
+    ds = GreenhouseRGBD(args.data_root, args.target_list,
+                        size_wh=tuple(args.size) if args.size else None)
+    loader = DataLoader(ds, args.batch_size)
+    labels, confs, indices = generate_pseudo_labels(
+        sources, loader, mode=args.fusion, use_pallas=args.pallas)
+
+    if args.p is not None:  # class-balanced thresholds
+        kc = sweep_kc(labels, confs, t, args.p)
+    else:
+        kc = np.full(t, args.threshold, np.float32)
+    safe = np.where(labels == IGNORE_LABEL, 0, labels)
+    labels = np.where(confs >= kc[safe], labels, IGNORE_LABEL).astype(np.int32)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    img_paths, lab_paths = [], []
+    for j, idx in enumerate(indices):
+        lp = os.path.join(args.out_dir, f"pseudo_{int(idx):06d}.png")
+        save_label_png(labels[j], lp)
+        if args.save_viz:
+            save_colorized_png(
+                labels[j], os.path.join(args.out_dir,
+                                        f"viz_{int(idx):06d}.png"))
+        img_paths.append(ds.pairs[int(idx)][0])
+        lab_paths.append(lp)
+    write_train_list(os.path.join(args.out_dir, "train_list.txt"),
+                     img_paths, lab_paths)
+    kept = float((labels != IGNORE_LABEL).mean())
+    print_info_message(
+        f"pseudo-labels for {len(indices)} images -> {args.out_dir} "
+        f"(kept {kept:.2%}, kc={np.round(kc, 3).tolist()})")
+    return {"kc": kc, "kept": kept, "n": len(indices)}
+
+
+def cmd_selftrain(args) -> Dict:
+    import jax.numpy as jnp
+
+    from mspl_tpu.data.datasets import GreenhouseRGBD
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.models import build_segmentation_model, init_model
+    from mspl_tpu.pseudo.self_training import SelfTrainConfig, self_training
+
+    info = dataset_info("greenhouse")
+    t = info.num_classes
+    sources = _load_sources(args.checkpoints, t)
+    size_wh = tuple(args.size) if args.size else None
+    target_ds = GreenhouseRGBD(args.data_root, args.target_list,
+                               size_wh=size_wh)
+    val_loader = None
+    if args.val_list:
+        val_ds = GreenhouseRGBD(args.data_root, args.val_list,
+                                size_wh=size_wh)
+        val_loader = DataLoader(val_ds, args.batch_size)
+
+    if args.init_checkpoint:
+        model, variables, _ = load_model_checkpoint(args.init_checkpoint)
+    else:
+        model = build_segmentation_model(
+            args.model, num_classes=t, s=args.s,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        variables = init_model(model, target_ds.shape_hw)
+
+    crop_wh = args.crop_size or size_wh or info.size_wh
+    cfg = SelfTrainConfig(
+        rounds=args.rounds, p_init=args.p_init, p_step=args.p_step,
+        fusion=args.fusion, batch_size=args.batch_size,
+        epochs_per_round=args.epochs, crop_hw=(crop_wh[1], crop_wh[0]),
+        lr=args.lr, optimizer=args.optimizer, scheduler=args.scheduler,
+        weight_decay=args.weight_decay, reg_mode=args.reg_mode,
+        reg_weight=args.reg_weight, seed=args.seed, out_dir=args.out_dir,
+        ckpt_dir=args.ckpt_dir, use_pallas=args.pallas,
+    )
+    res = self_training(model, variables, sources, target_ds, val_loader, t,
+                        cfg)
+    _save_model(
+        args.ckpt_dir or "./runs/selftrain", res["variables"],
+        {"dataset": "greenhouse", "model": args.model, "s": args.s,
+         "num_classes": t, "bf16": args.bf16,
+         "input_hw": list(target_ds.shape_hw),
+         "best_miou": res["best_miou"]},
+    )
+    print_info_message(f"self-training done; best mIoU {res['best_miou']:.4f}")
+    return res
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mspl_tpu",
+        description="TPU-native multi-source pseudo-label segmentation")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a segmentation model")
+    t.add_argument("--dataset", required=True, choices=SEGMENTATION_DATASETS)
+    t.add_argument("--data-root", required=True)
+    t.add_argument("--train-list", required=True)
+    t.add_argument("--val-list", default=None)
+    t.add_argument("--class-weighting", action="store_true")
+    _add_common_train_flags(t)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="evaluate a checkpoint (per-class IoU)")
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--dataset", default=None, choices=SEGMENTATION_DATASETS)
+    e.add_argument("--data-root", required=True)
+    e.add_argument("--val-list", required=True)
+    e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--size", type=int, nargs=2, default=None,
+                   metavar=("W", "H"))
+    e.set_defaults(fn=cmd_eval)
+
+    g = sub.add_parser("pseudo", help="generate pseudo-labels")
+    g.add_argument("--checkpoints", nargs="+", required=True,
+                   help="source model checkpoints (1=single-source)")
+    g.add_argument("--data-root", required=True)
+    g.add_argument("--target-list", required=True)
+    g.add_argument("--out-dir", required=True)
+    g.add_argument("--fusion", default="soft", choices=FUSION_MODES)
+    g.add_argument("--threshold", type=float, default=0.5)
+    g.add_argument("--p", type=float, default=None,
+                   help="class-balanced portion (overrides --threshold)")
+    g.add_argument("--batch-size", type=int, default=8)
+    g.add_argument("--save-viz", action="store_true")
+    g.add_argument("--size", type=int, nargs=2, default=None,
+                   metavar=("W", "H"))
+    g.add_argument("--pallas", action="store_true")
+    g.set_defaults(fn=cmd_pseudo)
+
+    s = sub.add_parser("selftrain", help="multi-round MSPL self-training")
+    s.add_argument("--checkpoints", nargs="+", required=True)
+    s.add_argument("--data-root", required=True)
+    s.add_argument("--target-list", required=True)
+    s.add_argument("--val-list", default=None)
+    s.add_argument("--init-checkpoint", default=None)
+    s.add_argument("--rounds", type=int, default=3)
+    s.add_argument("--p-init", type=float, default=0.2)
+    s.add_argument("--p-step", type=float, default=0.05)
+    s.add_argument("--fusion", default="soft", choices=FUSION_MODES)
+    s.add_argument("--reg-mode", default="kld", choices=("none", "kld", "ent"))
+    s.add_argument("--reg-weight", type=float, default=0.1)
+    s.add_argument("--out-dir", default=None)
+    s.add_argument("--pallas", action="store_true")
+    _add_common_train_flags(s)
+    s.set_defaults(fn=cmd_selftrain, epochs=5, lr=1e-3, scheduler="poly")
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=lambda a: __import__("bench").main())
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

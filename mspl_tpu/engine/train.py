@@ -30,7 +30,7 @@ from flax.training import train_state
 from mspl_tpu.data.transforms import normalize, train_transform
 from mspl_tpu.engine.losses import segmentation_loss
 from mspl_tpu.engine.metrics import MIOU, confusion_matrix
-from mspl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mspl_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from mspl_tpu.utils.checkpoint import has_checkpoint, load_checkpoint, save_checkpoint
 from mspl_tpu.utils.print_utils import print_info_message, print_log_message
 from mspl_tpu.utils.tb_logger import ScalarLogger
@@ -195,7 +195,7 @@ def train_segmentation(
     (reference §3.1).  Returns {'state', 'best_miou', 'history'}."""
     from mspl_tpu.engine.schedules import build_schedule
 
-    mesh = mesh or make_mesh()
+    mesh = mesh or make_mesh_for_batch(train_loader.batch_size)
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = cfg.epochs * steps_per_epoch
     schedule = build_schedule(

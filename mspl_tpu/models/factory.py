@@ -41,4 +41,7 @@ def init_model(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((batch, input_hw[0], input_hw[1], channels), jnp.float32)
-    return model.init({"params": rng}, dummy, train=False)
+    # jit the init: eager init executes the model op-by-op on the device
+    # (minutes over a remote-TPU tunnel); jitted it is one compiled program
+    init_fn = jax.jit(lambda r, d: model.init({"params": r}, d, train=False))
+    return init_fn(rng, dummy)

@@ -49,6 +49,18 @@ def make_mesh(
     return Mesh(grid, axis_names=("model", "data"))
 
 
+def make_mesh_for_batch(batch_size: int, model: int = 1,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh whose `data` axis evenly divides `batch_size` (largest such axis
+    available) — keeps small-batch jobs valid on large slices."""
+    import math
+
+    devs = list(devices if devices is not None else jax.devices())
+    per_model = max(len(devs) // model, 1)
+    data = math.gcd(batch_size, per_model)
+    return make_mesh(data=data, model=model, devices=devs[: data * model])
+
+
 def shard_batch(batch: Dict, mesh: Mesh):
     """Put a host batch onto the mesh sharded along leading dim over 'data'
     (replicated over 'model')."""

@@ -35,13 +35,14 @@ def save_checkpoint(
     state: Any,
     meta: Optional[Dict] = None,
     is_best: bool = False,
+    name: str = LAST_NAME,
 ) -> str:
     """Serialize `state` (any pytree) + meta; copy to best on new best."""
     os.makedirs(ckpt_dir, exist_ok=True)
     state = jax.device_get(state)
-    path = os.path.join(ckpt_dir, LAST_NAME + ".msgpack")
+    path = os.path.join(ckpt_dir, name + ".msgpack")
     _atomic_write(path, serialization.to_bytes(state))
-    meta_path = os.path.join(ckpt_dir, LAST_NAME + ".json")
+    meta_path = os.path.join(ckpt_dir, name + ".json")
     _atomic_write(meta_path, json.dumps(meta or {}).encode())
     if is_best:
         shutil.copyfile(path, os.path.join(ckpt_dir, BEST_NAME + ".msgpack"))

@@ -1,0 +1,96 @@
+"""CLI integration test: the reference's public workflow end-to-end in
+miniature — train two source models (different label spaces) -> eval ->
+multi-source pseudo-label generation -> self-training rounds — all through
+the argparse surface (SURVEY.md §3 entry points / BASELINE.json configs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mspl_tpu.cli import main
+from mspl_tpu.data.label_io import save_label_png, write_train_list
+from mspl_tpu.utils.registry import dataset_info
+
+
+def _make_png_dataset(root, name, num_classes, n=6, size_wh=(32, 24)):
+    """Synthetic file-backed dataset in reference list format."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    imgs, labs = [], []
+    w, h = size_wh
+    for i in range(n):
+        img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        lab = rng.integers(0, num_classes, size=(h, w)).astype(np.uint8)
+        ip, lp = f"img_{i}.png", f"lab_{i}.png"
+        Image.fromarray(img).save(os.path.join(root, ip))
+        save_label_png(lab, os.path.join(root, lp))
+        imgs.append(ip)
+        labs.append(lp)
+    write_train_list(os.path.join(root, "list.txt"), imgs, labs)
+    # unlabeled list (images only)
+    with open(os.path.join(root, "unlabeled.txt"), "w") as f:
+        for ip in imgs:
+            f.write(ip + "\n")
+    return root
+
+
+@pytest.mark.slow
+def test_cli_full_workflow(tmp_path):
+    size = ["--size", "32", "24"]
+    small = ["--s", "0.5", "--batch-size", "4", "--epochs", "2",
+             "--optimizer", "adam", "--lr", "0.005", "--scheduler", "fixed"]
+
+    ckpts = []
+    for ds_name in ("camvid", "forest"):
+        root = _make_png_dataset(
+            str(tmp_path / ds_name), ds_name,
+            dataset_info(ds_name).num_classes)
+        ckpt = str(tmp_path / f"ckpt_{ds_name}")
+        main(["train", "--dataset", ds_name, "--data-root", root,
+              "--train-list", os.path.join(root, "list.txt"),
+              "--val-list", os.path.join(root, "list.txt"),
+              "--ckpt-dir", ckpt, "--class-weighting"] + size + small)
+        assert os.path.exists(os.path.join(ckpt, "model_best.msgpack"))
+        ckpts.append(ckpt)
+
+        res = main(["eval", "--checkpoint", ckpt, "--data-root", root,
+                    "--val-list", os.path.join(root, "list.txt"),
+                    "--batch-size", "4"] + size)
+        assert 0.0 <= res["miou"] <= 1.0
+
+    # greenhouse target (unlabeled) + labeled val
+    gh_root = _make_png_dataset(str(tmp_path / "greenhouse"), "greenhouse", 3)
+
+    out_dir = str(tmp_path / "pseudo_out")
+    res = main(["pseudo", "--checkpoints"] + ckpts + [
+        "--data-root", gh_root,
+        "--target-list", os.path.join(gh_root, "unlabeled.txt"),
+        "--out-dir", out_dir, "--fusion", "soft", "--p", "0.7",
+        "--batch-size", "4", "--save-viz"] + size)
+    assert res["n"] == 6
+    assert os.path.exists(os.path.join(out_dir, "train_list.txt"))
+    assert len([f for f in os.listdir(out_dir) if f.startswith("pseudo_")]) == 6
+    assert len([f for f in os.listdir(out_dir) if f.startswith("viz_")]) == 6
+
+    # single-source generation (config #2) with plain threshold
+    res1 = main(["pseudo", "--checkpoints", ckpts[0],
+                 "--data-root", gh_root,
+                 "--target-list", os.path.join(gh_root, "unlabeled.txt"),
+                 "--out-dir", str(tmp_path / "pseudo_single"),
+                 "--threshold", "0.3", "--batch-size", "4"] + size)
+    assert res1["n"] == 6
+
+    # self-training: 1 round through the CLI
+    st_ckpt = str(tmp_path / "selftrain_ckpt")
+    res2 = main(["selftrain", "--checkpoints"] + ckpts + [
+        "--data-root", gh_root,
+        "--target-list", os.path.join(gh_root, "unlabeled.txt"),
+        "--val-list", os.path.join(gh_root, "list.txt"),
+        "--rounds", "1", "--p-init", "0.6",
+        "--ckpt-dir", st_ckpt,
+        "--out-dir", str(tmp_path / "st_labels")] + size + small)
+    assert len(res2["history"]) == 1
+    assert os.path.exists(os.path.join(st_ckpt, "model_best.msgpack"))
