@@ -46,16 +46,25 @@ def branch_dilations(k: int, r_lim: int) -> Tuple[int, ...]:
 
 
 class EESP(nn.Module):
-    """Extremely Efficient Spatial Pyramid unit."""
+    """Extremely Efficient Spatial Pyramid unit.
+
+    `use_pallas=True` routes the stride-1 K-branch dilated-depthwise stack +
+    HFF through the fused Pallas kernel (mspl_tpu/ops/pallas_eesp.py); the
+    parameter tree is identical for both paths (branch weights are owned by
+    this module), so checkpoints are interchangeable.
+    """
 
     out_features: int
     stride: int = 1
     k: int = 4
     r_lim: int = 7
     down_method: str = "esp"  # 'avg' => strided variant inside DownSampler
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
         nin = x.shape[-1]
         nout = self.out_features
         n = nout // self.k
@@ -68,22 +77,35 @@ class EESP(nn.Module):
         )
 
         dilations = branch_dilations(self.k, self.r_lim)
-        branches = []
-        for i, d in enumerate(dilations):
-            b = CDilated(
-                n,
-                kernel_size=3,
-                stride=self.stride,
-                dilation=d,
-                groups=n,
-                name=f"dw_d{i}",
-            )(proj)
-            # hierarchical feature fusion: cumulative adds kill gridding
-            if i > 0:
-                b = b + branches[-1]
-            branches.append(b)
+        # branch weights owned here (shared between lax and Pallas paths)
+        dw_kernels = [
+            self.param(
+                f"dw_d{i}_kernel", nn.initializers.he_normal(), (3, 3, 1, n),
+                jnp.float32,
+            )
+            for i in range(self.k)
+        ]
 
-        merged = jnp.concatenate(branches, axis=-1)
+        if self.use_pallas and self.stride == 1:
+            from mspl_tpu.ops.pallas_eesp import eesp_branches_pallas
+
+            w = jnp.stack([k_[..., 0, :] for k_ in dw_kernels]).astype(proj.dtype)
+            merged = eesp_branches_pallas(proj, w, dilations)
+        else:
+            branches = []
+            for i, d in enumerate(dilations):
+                b = jax.lax.conv_general_dilated(
+                    proj, dw_kernels[i].astype(proj.dtype),
+                    window_strides=(self.stride, self.stride),
+                    padding=[(d, d), (d, d)], rhs_dilation=(d, d),
+                    feature_group_count=n,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                # hierarchical feature fusion: cumulative adds kill gridding
+                if i > 0:
+                    b = b + branches[-1]
+                branches.append(b)
+            merged = jnp.concatenate(branches, axis=-1)
         merged = BR(nout, name="br_after_cat")(merged, train=train)
         expanded = CB(nout, kernel_size=1, stride=1, groups=groups, name="conv_1x1_exp")(
             merged, train=train
@@ -111,6 +133,7 @@ class DownSampler(nn.Module):
     k: int = 4
     r_lim: int = 9
     reinf: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -128,7 +151,7 @@ class DownSampler(nn.Module):
         avg_out = _avg_pool_3x3_s2(x)
         eesp_out = EESP(
             nout_new, stride=2, k=self.k, r_lim=self.r_lim, down_method="avg",
-            name="eesp",
+            use_pallas=self.use_pallas, name="eesp",
         )(x, train=train)
         out = jnp.concatenate([avg_out, eesp_out], axis=-1)
 

@@ -68,29 +68,33 @@ class EESPNet(nn.Module):
     reinf: bool = True
     drop_rate: float = 0.2
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         cfg = eespnet_channel_plan(self.s)
         self.level1 = CBR(cfg[0], kernel_size=3, stride=2)
         self.level2_0 = DownSampler(cfg[1], k=_STAGE_K[0], r_lim=_STAGE_RLIM[0],
-                                    reinf=self.reinf)
+                                    reinf=self.reinf, use_pallas=self.use_pallas)
         self.level3_0 = DownSampler(cfg[2], k=_STAGE_K[1], r_lim=_STAGE_RLIM[1],
-                                    reinf=self.reinf)
+                                    reinf=self.reinf, use_pallas=self.use_pallas)
         self.level3_blocks = [
-            EESP(cfg[2], k=_STAGE_K[2], r_lim=_STAGE_RLIM[2])
+            EESP(cfg[2], k=_STAGE_K[2], r_lim=_STAGE_RLIM[2],
+                 use_pallas=self.use_pallas)
             for _ in range(_STAGE_REPS[1])
         ]
         self.level4_0 = DownSampler(cfg[3], k=_STAGE_K[2], r_lim=_STAGE_RLIM[2],
-                                    reinf=self.reinf)
+                                    reinf=self.reinf, use_pallas=self.use_pallas)
         self.level4_blocks = [
-            EESP(cfg[3], k=_STAGE_K[3], r_lim=_STAGE_RLIM[3])
+            EESP(cfg[3], k=_STAGE_K[3], r_lim=_STAGE_RLIM[3],
+                 use_pallas=self.use_pallas)
             for _ in range(_STAGE_REPS[2])
         ]
         # classification-only tail
         self.level5_0 = DownSampler(cfg[4], k=_STAGE_K[3], r_lim=_STAGE_RLIM[3],
                                     reinf=False)
         self.level5_blocks = [
-            EESP(cfg[4], k=_STAGE_K[4], r_lim=_STAGE_RLIM[4])
+            EESP(cfg[4], k=_STAGE_K[4], r_lim=_STAGE_RLIM[4],
+                 use_pallas=self.use_pallas)
             for _ in range(_STAGE_REPS[3])
         ]
         self.level5_dw = CBR(cfg[4], kernel_size=3, stride=1, groups=cfg[4])
@@ -133,11 +137,12 @@ class ESPNetv2Segmentation(nn.Module):
     s: float = 2.0
     dec_base_planes: int = 16
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         enc = EESPNet(s=self.s, reinf=True, compute_dtype=self.compute_dtype,
-                      name="base_net")
+                      use_pallas=self.use_pallas, name="base_net")
         l1, l2, l3, l4 = enc.encode(x, train=train)
 
         bp = self.dec_base_planes

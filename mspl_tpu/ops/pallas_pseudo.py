@@ -104,6 +104,7 @@ def fused_pseudo_pass_pallas(
     logits_list: N tensors [B,H,W,C_m]; conversions: N [C_m, T+1] matrices.
     Returns (label int32 [B,H,W], conf f32 [B,H,W]).
     """
+    interpret = interpret or jax.default_backend() == "cpu"
     if not logits_list:
         raise ValueError("need at least one source model")
     n_models = len(logits_list)
