@@ -24,10 +24,10 @@ import numpy as np
 # None -> report vs_baseline = 1.0 and print the raw number.
 RECORDED_BASELINE = None
 
-BATCH = 8
+BATCH = 32
 HW = (256, 480)  # greenhouse canonical H, W (SURVEY registry: 480x256 WxH)
 WARMUP = 3
-ITERS = 20
+ITERS = 10
 
 
 def main():

@@ -51,6 +51,12 @@ def _read_list_file(root: str, list_file: str) -> List[Tuple[str, Optional[str]]
 
 
 def _load_image(path: str, size_wh: Tuple[int, int]) -> np.ndarray:
+    if path.lower().endswith(".png"):
+        from mspl_tpu.data import native_io
+
+        if native_io.available():  # C++ decode straight into a uint8 buffer
+            return native_io.decode_png(path, (size_wh[1], size_wh[0]),
+                                        channels=3, bilinear=True)
     from PIL import Image
 
     with Image.open(path) as im:
@@ -61,6 +67,12 @@ def _load_image(path: str, size_wh: Tuple[int, int]) -> np.ndarray:
 
 
 def _load_label(path: str, size_wh: Tuple[int, int]) -> np.ndarray:
+    if path.lower().endswith(".png"):
+        from mspl_tpu.data import native_io
+
+        if native_io.available():
+            return native_io.decode_png(path, (size_wh[1], size_wh[0]),
+                                        channels=1, bilinear=False)
     from PIL import Image
 
     with Image.open(path) as im:

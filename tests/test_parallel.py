@@ -1,0 +1,81 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4
+"Multi-device tests")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mspl_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_for_batch,
+    replicate,
+    shard_batch,
+)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.axis_names == ("model", "data")
+    assert m.shape["data"] == 8 and m.shape["model"] == 1
+
+    m2 = make_mesh(model=2)
+    assert m2.shape == {"model": 2, "data": 4}
+
+    with pytest.raises(ValueError):
+        make_mesh(model=3)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        make_mesh(model=2, data=8)  # 16 > 8 devices
+
+
+def test_make_mesh_for_batch():
+    assert make_mesh_for_batch(8).shape["data"] == 8
+    assert make_mesh_for_batch(4).shape["data"] == 4
+    assert make_mesh_for_batch(3).shape["data"] == 1
+    assert make_mesh_for_batch(12).shape["data"] == 4
+    assert make_mesh_for_batch(8, model=2).shape == {"model": 2, "data": 4}
+
+
+def test_shard_batch_and_replicate():
+    mesh = make_mesh()
+    batch = {"image": np.zeros((8, 4, 4, 3), np.uint8),
+             "label": np.zeros((8, 4, 4), np.int32)}
+    sharded = shard_batch(batch, mesh)
+    # each device holds 1/8 of the batch
+    assert sharded["image"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), ndim=4)
+
+    tree = {"w": np.ones((3, 3), np.float32)}
+    rep = replicate(tree, mesh)
+    assert rep["w"].sharding.is_equivalent_to(NamedSharding(mesh, P()), ndim=2)
+
+
+def test_gradient_allreduce_semantics():
+    """DP grads under GSPMD equal single-device grads on the full batch."""
+    mesh = make_mesh()
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+
+    g_single = jax.grad(loss)(w, x)
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+    w_rep = jax.device_put(w, NamedSharding(mesh, P()))
+    g_dp = jax.jit(jax.grad(loss))(w_rep, x_sharded)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_single),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_model_axis_fusion_reduction():
+    """Per-model probability tensors sharded over 'model' reduce correctly."""
+    mesh = make_mesh(model=2)
+    rng = np.random.default_rng(1)
+    probs = jnp.asarray(rng.uniform(size=(2, 4, 8, 8, 4)).astype(np.float32))
+    expected = np.asarray(probs).mean(axis=0)
+    sharded = jax.device_put(probs, NamedSharding(mesh, P("model", "data")))
+    fused = jax.jit(lambda p: p.mean(axis=0))(sharded)
+    np.testing.assert_allclose(np.asarray(fused), expected, rtol=1e-6)
