@@ -138,12 +138,15 @@ def generate_pseudo_labels(
     normalize_fn: Optional[Callable] = None,
     ignore_label: int = IGNORE_LABEL,
     use_pallas: bool = False,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sweep a target-image loader; return (labels [N,H,W] int32,
     confidences [N,H,W] f32, indices [N]) for the whole set, in loader order.
 
     The per-batch pass (model forwards + fusion + threshold) is one jitted
-    program; only final uint8/float maps return to host memory.
+    program; only final uint8/float maps return to host memory.  With `mesh`,
+    batches are sharded over the mesh `data` axis (data-parallel generation
+    across the slice — SURVEY.md §3.2 hot loop, BASELINE.json:5 "pmap DP").
     """
     from mspl_tpu.data.transforms import normalize as default_normalize
 
@@ -172,9 +175,17 @@ def generate_pseudo_labels(
         logits_list = [s.apply_fn(imgs) for s in sources]
         return pass_fn(logits_list)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
     labels, confs, indices = [], [], []
     for batch in loader:
-        lab, conf = batch_pass(jnp.asarray(batch["image"]))
+        imgs = jnp.asarray(batch["image"])
+        if mesh is not None:
+            imgs = jax.device_put(imgs, data_sharding)
+        lab, conf = batch_pass(imgs)
         valid = batch["valid"]
         lab, conf = np.asarray(lab), np.asarray(conf)
         labels.append(lab[valid])

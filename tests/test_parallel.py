@@ -79,3 +79,31 @@ def test_model_axis_fusion_reduction():
     sharded = jax.device_put(probs, NamedSharding(mesh, P("model", "data")))
     fused = jax.jit(lambda p: p.mean(axis=0))(sharded)
     np.testing.assert_allclose(np.asarray(fused), expected, rtol=1e-6)
+
+
+def test_sharded_pseudo_generation_matches_single_device():
+    """generate_pseudo_labels over a 'data'-sharded mesh == unsharded."""
+    from mspl_tpu.data.datasets import SyntheticSegmentation
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.data.label_space import label_conversion_matrix
+    from mspl_tpu.pseudo.generate import SourceModel, generate_pseudo_labels
+
+    conv = label_conversion_matrix("forest")
+
+    def fake_apply(imgs):
+        # deterministic 'model': logits from channel statistics
+        base = jnp.stack([imgs[..., 0], imgs[..., 1], imgs[..., 2],
+                          imgs.mean(-1), -imgs.mean(-1)], axis=-1)
+        return base * 3.0
+
+    src = SourceModel("fake", fake_apply, conv)
+    ds = SyntheticSegmentation(num_classes=3, size_wh=(16, 16), length=16,
+                               seed=9, unlabeled=True)
+    lab1, conf1, idx1 = generate_pseudo_labels(
+        [src], DataLoader(ds, batch_size=8), mode="soft")
+    mesh = make_mesh()
+    lab2, conf2, idx2 = generate_pseudo_labels(
+        [src], DataLoader(ds, batch_size=8), mode="soft", mesh=mesh)
+    np.testing.assert_array_equal(lab1, lab2)
+    np.testing.assert_allclose(conf1, conf2, rtol=1e-6)
+    np.testing.assert_array_equal(idx1, idx2)
