@@ -36,20 +36,22 @@ TILE_H = 8
 
 def _kernel(dilations: Tuple[int, ...], dmax: int, tile_h: int,
             x_hbm_ref, w_ref, out_ref, scratch, sem):
-    """x_hbm: [Hpad, Wpad, n] (pre-padded); w: [K*9, n];
-    out block: [TILE_H, W, K*n]; scratch: [TILE_H+2*dmax, Wpad, n]."""
-    k = len(dilations)
-    h_idx = pl.program_id(0)
+    """x_hbm: [B, Hpad, Wpad, n] (pre-padded, full array in HBM); w: [K*9, n];
+    out block: [1, TILE_H, W, K*n]; scratch: [TILE_H+2*dmax, Wpad, n].
+    grid = (B, Hpad // TILE_H): batch is a grid dim (vmapping an ANY-space
+    ref is unsupported by the Mosaic lowering)."""
+    b = pl.program_id(0)
+    h_idx = pl.program_id(1)
     row0 = h_idx * tile_h  # top of this tile in padded coords
 
     copy = pltpu.make_async_copy(
-        x_hbm_ref.at[pl.ds(row0, tile_h + 2 * dmax)], scratch, sem
+        x_hbm_ref.at[b, pl.ds(row0, tile_h + 2 * dmax)], scratch, sem
     )
     copy.start()
     copy.wait()
 
     n = scratch.shape[-1]
-    w_out = out_ref.shape[1]
+    w_out = out_ref.shape[2]
     acc = None
     for ki, d in enumerate(dilations):
         y = None
@@ -64,7 +66,7 @@ def _kernel(dilations: Tuple[int, ...], dmax: int, tile_h: int,
                 contrib = win * tap[None, None, :]
                 y = contrib if y is None else y + contrib
         acc = y if acc is None else acc + y  # hierarchical feature fusion
-        out_ref[:, :, ki * n:(ki + 1) * n] = acc
+        out_ref[0, :, :, ki * n:(ki + 1) * n] = acc
 
 
 def eesp_branches_pallas(
@@ -94,27 +96,25 @@ def eesp_branches_pallas(
     wpad = xp.shape[2]
     w_flat = weights.reshape(k * 9, n).astype(x.dtype)
 
-    grid = (h_pad // TILE_H,)
+    grid = (b, h_pad // TILE_H)
     kernel = partial(_kernel, tuple(int(d) for d in dilations), dmax, TILE_H)
 
-    def one_image(img):
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
-                pl.BlockSpec((k * 9, n), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((TILE_H, w, k * n), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((h_pad, w, k * n), x.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((TILE_H + 2 * dmax, wpad, n), x.dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
-            interpret=interpret,
-        )(img, w_flat)
-
-    out = jax.vmap(one_image)(xp)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
+            pl.BlockSpec((k * 9, n), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_H, w, k * n),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, k * n), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2 * dmax, wpad, n), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w_flat)
     return out[:, :h]

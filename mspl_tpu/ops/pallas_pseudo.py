@@ -18,7 +18,7 @@ model in VMEM:
     kc threshold (unrolled select over the tiny T) → int32 labels + f32 conf.
 
 C_m is 5..19 (source label spaces) so lanes are padded by Mosaic; the arrays
-DMA'd from HBM stay compact.  TILE_P = 4096 keeps VMEM under ~2 MB/model with
+DMA'd from HBM stay compact.  TILE_P = 1024 keeps VMEM under ~2 MB/model with
 double buffering.  All reductions are lane-wise VPU ops; the conversion
 matmul is the only MXU op.
 """
@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mspl_tpu.utils.registry import IGNORE_LABEL
 
-TILE_P = 4096
+TILE_P = 1024
 
 
 def _kernel(n_models: int, num_target: int, mode: str, min_agree: int,
