@@ -6,15 +6,18 @@ SURVEY.md §7 stage 7(a) and "Hard parts: Pallas dilated depthwise conv").
 Motivation: under XLA each of the K branches is a separate depthwise conv
 that re-reads the projected activation from HBM and writes its own output,
 plus K-1 elementwise adds — ~2K+ passes over the tensor.  This kernel reads
-the input once (with a dilation-sized halo), computes all K branches as
-9 shifted multiply-adds each (VPU), applies the HFF cumulative adds in
-registers, and writes the concatenated [.., K*n] output once.
+the input once, computes all K branches as 9 shifted multiply-adds each
+(VPU), applies the HFF cumulative adds in registers, and writes the
+concatenated [.., K*n] output once.
 
-Layout: NHWC, grid over (batch, H-tiles).  The input stays in HBM
-(memory_space ANY); each grid step DMAs a [TILE_H + 2*Dmax, W + 2*Dmax, n]
-window into VMEM scratch (halo rows/cols included — overlapping windows are
-why this is a manual DMA rather than a BlockSpec).  The wrapper pre-pads W
-and H by Dmax so the kernel never branches on boundaries.
+Layout: NHWC, grid over the batch.  Stride-1 EESP units run at 1/8 and 1/16
+resolution where a whole image plane fits VMEM comfortably (level3 of the
+s=2.0 net at 480x256 input: (32+2d, 60+2d, 64) fp32 ≈ 0.7 MB in,
+(1,32,60,256) ≈ 2 MB out), so each grid step takes one full (pre-padded)
+image as its block and the halo problem disappears — shifted windows are
+static in-VMEM slices.  (An earlier variant DMA'd overlapping row tiles from
+an ANY-space ref; rank>=3 manual DMA reliably crashes this environment's TPU
+compiler, and whole-plane blocks are faster anyway at these sizes.)
 
 Stride-1 only (the strided EESP variant inside DownSampler runs 3 of ~13
 units and keeps the lax path).
@@ -31,26 +34,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
 
-
-def _kernel(dilations: Tuple[int, ...], dmax: int, tile_h: int,
-            x_hbm_ref, w_ref, out_ref, scratch, sem):
-    """x_hbm: [B, Hpad, Wpad, n] (pre-padded, full array in HBM); w: [K*9, n];
-    out block: [1, TILE_H, W, K*n]; scratch: [TILE_H+2*dmax, Wpad, n].
-    grid = (B, Hpad // TILE_H): batch is a grid dim (vmapping an ANY-space
-    ref is unsupported by the Mosaic lowering)."""
-    b = pl.program_id(0)
-    h_idx = pl.program_id(1)
-    row0 = h_idx * tile_h  # top of this tile in padded coords
-
-    copy = pltpu.make_async_copy(
-        x_hbm_ref.at[b, pl.ds(row0, tile_h + 2 * dmax)], scratch, sem
-    )
-    copy.start()
-    copy.wait()
-
-    n = scratch.shape[-1]
+def _kernel(dilations: Tuple[int, ...], dmax: int, x_ref, w_ref, out_ref):
+    """x block: [1, H+2*dmax, W+2*dmax, n]; w: [K*9, n];
+    out block: [1, H, W, K*n]."""
+    n = x_ref.shape[-1]
+    h_out = out_ref.shape[1]
     w_out = out_ref.shape[2]
     acc = None
     for ki, d in enumerate(dilations):
@@ -58,8 +47,9 @@ def _kernel(dilations: Tuple[int, ...], dmax: int, tile_h: int,
         for iy, dy in enumerate((-d, 0, d)):
             for ix, dx in enumerate((-d, 0, d)):
                 tap = w_ref[ki * 9 + iy * 3 + ix, :]  # [n]
-                win = scratch[
-                    pl.ds(dmax + dy, tile_h),
+                win = x_ref[
+                    0,
+                    pl.ds(dmax + dy, h_out),
                     pl.ds(dmax + dx, w_out),
                     :,
                 ]
@@ -89,32 +79,22 @@ def eesp_branches_pallas(
         raise ValueError(f"weights {weights.shape} != {(k, 3, 3, n)}")
     dmax = int(max(dilations))
 
-    h_pad = -(-h // TILE_H) * TILE_H
-    xp = jnp.pad(
-        x, ((0, 0), (dmax, dmax + (h_pad - h)), (dmax, dmax), (0, 0))
-    )
-    wpad = xp.shape[2]
+    xp = jnp.pad(x, ((0, 0), (dmax, dmax), (dmax, dmax), (0, 0)))
     w_flat = weights.reshape(k * 9, n).astype(x.dtype)
 
-    grid = (b, h_pad // TILE_H)
-    kernel = partial(_kernel, tuple(int(d) for d in dilations), dmax, TILE_H)
-
+    kernel = partial(_kernel, tuple(int(d) for d in dilations), dmax)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
-            pl.BlockSpec((k * 9, n), lambda bi, i: (0, 0),
+            pl.BlockSpec((1, h + 2 * dmax, w + 2 * dmax, n),
+                         lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * 9, n), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_H, w, k * n),
-                               lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w, k * n), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, k * n), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2 * dmax, wpad, n), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, h, w, k * n), x.dtype),
         interpret=interpret,
     )(xp, w_flat)
-    return out[:, :h]
+    return out
