@@ -64,9 +64,16 @@ class DataLoader:
             indices = np.concatenate(
                 [indices, np.full(bs - len(indices), indices[-1])]
             )
-        samples = list(pool.map(self.dataset.load, [int(i) for i in indices]))
-        imgs = np.stack([s[0] for s in samples])
-        labs = np.stack([s[1] for s in samples]).astype(np.int32)
+        load_batch = getattr(self.dataset, "load_batch", None)
+        if load_batch is not None:
+            # native batch fast path: C++ threads fill one staging buffer
+            imgs, labs = load_batch(indices)
+            labs = labs.astype(np.int32)
+        else:
+            samples = list(
+                pool.map(self.dataset.load, [int(i) for i in indices]))
+            imgs = np.stack([s[0] for s in samples])
+            labs = np.stack([s[1] for s in samples]).astype(np.int32)
         return {
             "image": imgs,
             "label": labs,

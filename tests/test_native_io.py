@@ -117,3 +117,29 @@ def test_palette_label_decode_keeps_indices(tmp_path):
     pal.save(p)
     out = native_io.decode_png(p, (15, 18), channels=1, bilinear=False)
     np.testing.assert_array_equal(out, idx)
+
+
+@requires_native
+def test_dataset_load_batch_matches_per_item(tmp_path):
+    """The native batch fast path must match per-item loads exactly."""
+    from mspl_tpu.data.datasets import CamVidSegmentation
+    from mspl_tpu.data.label_io import save_label_png, write_train_list
+
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    imgs, labs = [], []
+    for i in range(5):
+        img = rng.integers(0, 256, (20, 24, 3)).astype(np.uint8)
+        lab = rng.integers(0, 11, (20, 24)).astype(np.uint8)
+        native_io.encode_png(os.path.join(root, f"i{i}.png"), img)
+        save_label_png(lab, os.path.join(root, f"l{i}.png"))
+        imgs.append(f"i{i}.png")
+        labs.append(f"l{i}.png")
+    write_train_list(os.path.join(root, "list.txt"), imgs, labs)
+    ds = CamVidSegmentation(root, os.path.join(root, "list.txt"),
+                            size_wh=(24, 20))
+    bi, bl = ds.load_batch([0, 2, 4])
+    for j, idx in enumerate([0, 2, 4]):
+        si, sl = ds.load(idx)
+        np.testing.assert_array_equal(bi[j], si)
+        np.testing.assert_array_equal(bl[j], sl)
