@@ -20,14 +20,15 @@ import time
 
 import numpy as np
 
-# round-1 recorded measurement (images/sec/chip on TPU v5e, this script).
-# None -> report vs_baseline = 1.0 and print the raw number.
-RECORDED_BASELINE = None
+# round-1 recorded measurement (images/sec/chip on TPU v5e, this script):
+# 3x ESPNetv2(s=2.0) bf16 @ 256x480, soft fusion + kc, batch 128.
+# (batch sweep r1: 8->78.6, 16->142, 32->189, 64->286, 128->438.9, 256->439)
+RECORDED_BASELINE = 438.9  # r1 measurement, lax path, batch 128
 
-BATCH = 32
+BATCH = 128
 HW = (256, 480)  # greenhouse canonical H, W (SURVEY registry: 480x256 WxH)
-WARMUP = 3
-ITERS = 10
+WARMUP = 2
+ITERS = 5
 
 
 def main():
