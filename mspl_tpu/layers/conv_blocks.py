@@ -46,6 +46,39 @@ class PReLU(nn.Module):
         return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
+class _GroupedConv(nn.Module):
+    """Grouped-conv leaf that bypasses XLA's slow feature_group_count path
+    (see mspl_tpu/ops/grouped_conv.py header for measurements).  Parameter
+    names and shapes ('kernel' HWIO, optional 'bias') match ``nn.Conv`` so
+    the variable tree is identical to the dense-path leaf."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    dilation: Tuple[int, int]
+    groups: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mspl_tpu.ops.grouped_conv import grouped_conv2d
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (kh, kw, x.shape[-1] // self.groups, self.features), jnp.float32,
+        )
+        out = grouped_conv2d(
+            x, kernel.astype(x.dtype), stride=self.stride,
+            dilation=self.dilation, groups=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class C(nn.Module):
     """Plain conv, no BN/activation, no bias (reference `C`)."""
 
@@ -60,6 +93,12 @@ class C(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = _pair(self.kernel_size)
         d = _pair(self.dilation)
+        if self.groups > 1:
+            return _GroupedConv(
+                features=self.features, kernel_size=k,
+                stride=_pair(self.stride), dilation=d, groups=self.groups,
+                use_bias=self.use_bias, name="Conv_0",
+            )(x)
         pad = ((d[0] * (k[0] - 1) // 2,) * 2, (d[1] * (k[1] - 1) // 2,) * 2)
         return nn.Conv(
             features=self.features,

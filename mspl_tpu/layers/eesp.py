@@ -92,14 +92,13 @@ class EESP(nn.Module):
             w = jnp.stack([k_[..., 0, :] for k_ in dw_kernels]).astype(proj.dtype)
             merged = eesp_branches_pallas(proj, w, dilations)
         else:
+            from mspl_tpu.ops.grouped_conv import depthwise_conv3x3
+
             branches = []
             for i, d in enumerate(dilations):
-                b = jax.lax.conv_general_dilated(
+                b = depthwise_conv3x3(
                     proj, dw_kernels[i].astype(proj.dtype),
-                    window_strides=(self.stride, self.stride),
-                    padding=[(d, d), (d, d)], rhs_dilation=(d, d),
-                    feature_group_count=n,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    stride=self.stride, dilation=d,
                 )
                 # hierarchical feature fusion: cumulative adds kill gridding
                 if i > 0:

@@ -1,0 +1,81 @@
+"""Grouped/depthwise conv rewrite (mspl_tpu/ops/grouped_conv.py) must be the
+same convolution `lax.conv_general_dilated` computes — it exists purely
+because XLA's feature_group_count path is slow on TPU (module header has the
+measurements)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mspl_tpu.ops.grouped_conv import depthwise_conv3x3, grouped_conv2d
+
+
+def _lax_ref(x, k, stride, dilation, groups, padding=None):
+    kh, kw = k.shape[0], k.shape[1]
+    pad = padding if padding is not None else (
+        dilation[0] * (kh - 1) // 2, dilation[1] * (kw - 1) // 2)
+    return jax.lax.conv_general_dilated(
+        x, k, stride, [(pad[0], pad[0]), (pad[1], pad[1])],
+        rhs_dilation=dilation, feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+CASES = [
+    # (cin, cout, groups, k, stride, dilation)
+    (16, 8, 4, 1, 1, 1),      # grouped pointwise reduce
+    (16, 16, 4, 1, 1, 1),     # grouped pointwise expand
+    (12, 12, 12, 3, 1, 1),    # depthwise 3x3
+    (12, 12, 12, 3, 1, 4),    # dilated depthwise
+    (12, 12, 12, 3, 2, 2),    # strided dilated depthwise (DownSampler branch)
+    (20, 4, 4, 3, 1, 1),      # pyramid-pool merge (5->1 per group)
+    (16, 12, 4, 3, 2, 1),     # grouped strided 3x3
+]
+
+
+@pytest.mark.parametrize("cin,cout,groups,k,stride,dilation", CASES)
+def test_matches_lax_conv(cin, cout, groups, k, stride, dilation):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 13, 17, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, cin // groups, cout) * 0.3, jnp.float32)
+    got = grouped_conv2d(x, w, stride=(stride, stride),
+                         dilation=(dilation, dilation), groups=groups)
+    want = _lax_ref(x, w, (stride, stride), (dilation, dilation), groups)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise3x3_wrapper_matches():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 10, 11, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 1, 8) * 0.3, jnp.float32)
+    got = depthwise_conv3x3(x, w, stride=2, dilation=2)
+    want = _lax_ref(x, w, (2, 2), (2, 2), 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_c_module_param_tree_unchanged():
+    """C(groups>1) must keep the nn.Conv-style 'Conv_0/kernel' leaf so
+    checkpoints and oracle tests see an identical variable tree."""
+    from mspl_tpu.layers.conv_blocks import C
+
+    mod = C(features=8, kernel_size=3, groups=4)
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 6, 8)))
+    assert set(v["params"].keys()) == {"Conv_0"}
+    assert v["params"]["Conv_0"]["kernel"].shape == (3, 3, 2, 8)
+
+
+def test_c_module_grouped_matches_dense_semantics():
+    """C with groups>1 equals lax grouped conv with the same kernel."""
+    from mspl_tpu.layers.conv_blocks import C
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 9, 9, 8), jnp.float32)
+    mod = C(features=8, kernel_size=3, groups=8)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    got = mod.apply(v, x)
+    want = _lax_ref(x, v["params"]["Conv_0"]["kernel"], (1, 1), (1, 1), 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
