@@ -100,6 +100,8 @@ class C(nn.Module):
                 use_bias=self.use_bias, name="Conv_0",
             )(x)
         pad = ((d[0] * (k[0] - 1) // 2,) * 2, (d[1] * (k[1] - 1) // 2,) * 2)
+        # dtype=x.dtype: like BatchNorm, flax Conv otherwise promotes bf16
+        # activations to fp32 through the fp32 params.
         return nn.Conv(
             features=self.features,
             kernel_size=k,
@@ -109,6 +111,7 @@ class C(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             kernel_init=nn.initializers.he_normal(),
+            dtype=x.dtype,
         )(x)
 
 
@@ -140,8 +143,13 @@ class BR(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # dtype=x.dtype: flax BatchNorm otherwise promotes bf16 activations
+        # to fp32 (params are fp32), silently doubling HBM traffic for the
+        # whole network downstream of every BN.  Statistics stay fp32 in
+        # batch_stats (param_dtype default).
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=_BN_MOMENTUM, epsilon=_BN_EPS
+            use_running_average=not train, momentum=_BN_MOMENTUM,
+            epsilon=_BN_EPS, dtype=x.dtype,
         )(x)
         return PReLU(self.features)(x)
 
@@ -165,7 +173,8 @@ class CB(nn.Module):
             groups=self.groups,
         )(x)
         return nn.BatchNorm(
-            use_running_average=not train, momentum=_BN_MOMENTUM, epsilon=_BN_EPS
+            use_running_average=not train, momentum=_BN_MOMENTUM,
+            epsilon=_BN_EPS, dtype=x.dtype,
         )(x)
 
 

@@ -35,34 +35,59 @@ def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
 
 
 class EfficientPyrPool(nn.Module):
+    """`use_pallas=None` (auto) routes the 5-branch resample→depthwise→
+    resample-back stack through the fused whole-plane Pallas kernel
+    (mspl_tpu/ops/pallas_pyrpool.py) on TPU and keeps the jnp path on CPU;
+    True/False force it.  Branch weights are owned by this module so the
+    two paths share parameters."""
+
     proj_features: int
     out_features: int
     scales: Tuple[float, ...] = (2.0, 1.5, 1.0, 0.5, 0.1)
     last_layer_br: bool = True
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
         p = self.proj_features
         scales = tuple(sorted(self.scales, reverse=True))
         x = CBR(p, kernel_size=1, stride=1, name="proj")(x, train=train)
         h, w = x.shape[1], x.shape[2]
 
-        branches = []
-        for i, s in enumerate(scales):
-            hs = max(int(math.ceil(h * s)), 5)
-            ws = max(int(math.ceil(w * s)), 5)
-            if s < 1.0:
-                y = adaptive_avg_pool(x, (hs, ws))
-            elif s > 1.0:
-                y = resize_bilinear(x, (hs, ws), align_corners=True)
-            else:
-                y = x
-            y = C(p, kernel_size=3, stride=1, groups=p, name=f"dw_s{i}")(y)
-            if s != 1.0:
-                y = resize_bilinear(y, (h, w), align_corners=True)
-            branches.append(y)
+        dw_kernels = [
+            self.param(f"dw_s{i}_kernel", nn.initializers.he_normal(),
+                       (3, 3, 1, p), jnp.float32)
+            for i in range(len(scales))
+        ]
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
 
-        out = jnp.concatenate(branches, axis=-1)
+        if use_pallas:
+            from mspl_tpu.ops.pallas_pyrpool import pyr_branches_pallas
+
+            wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])
+            out = pyr_branches_pallas(x, wstack.astype(x.dtype), scales)
+        else:
+            from mspl_tpu.ops.grouped_conv import depthwise_conv3x3
+
+            branches = []
+            for i, s in enumerate(scales):
+                hs = max(int(math.ceil(h * s)), 5)
+                ws = max(int(math.ceil(w * s)), 5)
+                if s < 1.0:
+                    y = adaptive_avg_pool(x, (hs, ws))
+                elif s > 1.0:
+                    y = resize_bilinear(x, (hs, ws), align_corners=True)
+                else:
+                    y = x
+                y = depthwise_conv3x3(y, dw_kernels[i].astype(y.dtype))
+                if s != 1.0:
+                    y = resize_bilinear(y, (h, w), align_corners=True)
+                branches.append(y)
+            out = jnp.concatenate(branches, axis=-1)
         out = BR(out.shape[-1], name="merge_br")(out, train=train)
         out = channel_shuffle(out, groups=len(scales))
         out = CBR(p, kernel_size=3, stride=1, groups=p, name="merge_cbr")(

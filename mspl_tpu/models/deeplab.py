@@ -28,18 +28,46 @@ _BN_EPS = 1e-5
 _BN_MOMENTUM = 0.9
 
 
+class _BN(nn.Module):
+    """BatchNorm pinned to the activation dtype — flax's default promotes
+    bf16 activations to fp32 via the fp32 params (see conv_blocks)."""
+
+    train: bool
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(use_running_average=not self.train,
+                            momentum=_BN_MOMENTUM, epsilon=_BN_EPS,
+                            dtype=x.dtype)(x)
+
+
 def _bn(train: bool):
-    return nn.BatchNorm(use_running_average=not train, momentum=_BN_MOMENTUM,
-                        epsilon=_BN_EPS)
+    return _BN(train)
+
+
+class _Conv(nn.Module):
+    """Conv pinned to the activation dtype (see _BN)."""
+
+    features: int
+    k: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.dilation * (self.k - 1) // 2
+        return nn.Conv(self.features, (self.k, self.k),
+                       strides=(self.stride, self.stride),
+                       padding=((pad, pad), (pad, pad)),
+                       kernel_dilation=(self.dilation, self.dilation),
+                       use_bias=False,
+                       kernel_init=nn.initializers.he_normal(),
+                       dtype=x.dtype)(x)
 
 
 def _conv(features: int, k: int, stride: int = 1, dilation: int = 1,
           name: str | None = None):
-    pad = dilation * (k - 1) // 2
-    return nn.Conv(features, (k, k), strides=(stride, stride),
-                   padding=((pad, pad), (pad, pad)),
-                   kernel_dilation=(dilation, dilation), use_bias=False,
-                   kernel_init=nn.initializers.he_normal(), name=name)
+    return _Conv(features, k, stride, dilation, name=name)
 
 
 class Bottleneck(nn.Module):
