@@ -46,6 +46,10 @@ class EfficientPyrPool(nn.Module):
     scales: Tuple[float, ...] = (2.0, 1.5, 1.0, 0.5, 0.1)
     last_layer_br: bool = True
     use_pallas: bool | None = None
+    # fuse the post-concat tail (BN/PReLU/shuffle/merge/classify) into the
+    # kernel at eval: wins only for narrow heads (the classifier stage);
+    # wide inner stages (O>=32) lose to branch-kernel + XLA tail
+    fuse_tail: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -65,7 +69,50 @@ class EfficientPyrPool(nn.Module):
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
 
-        if use_pallas:
+        if (use_pallas and self.fuse_tail and not train
+                and not self.is_initializing()):
+            # Whole-block fused eval kernel: BN here is a per-channel affine
+            # (running stats), so the post-concat BN+PReLU, channel shuffle,
+            # grouped merge, classifier and last BR all fold into the same
+            # per-plane pass as the branch stack.
+            from mspl_tpu.ops.pallas_pyrpool import pyr_pool_fused_eval
+
+            v = self.variables
+
+            def bn_affine(tree_p, tree_s):
+                a = tree_p["scale"] / jnp.sqrt(tree_s["var"] + 1e-5)
+                return a, tree_p["bias"] - tree_s["mean"] * a
+
+            pvars, svars = v["params"], v["batch_stats"]
+            a1, b1 = bn_affine(pvars["merge_br"]["BatchNorm_0"],
+                               svars["merge_br"]["BatchNorm_0"])
+            aff1 = jnp.stack([a1, b1, pvars["merge_br"]["PReLU_0"]["alpha"]])
+            a2, b2 = bn_affine(pvars["merge_cbr"]["CB_0"]["BatchNorm_0"],
+                               svars["merge_cbr"]["CB_0"]["BatchNorm_0"])
+            aff2 = jnp.stack([a2, b2, pvars["merge_cbr"]["PReLU_0"]["alpha"]])
+            merge_w = pvars["merge_cbr"]["CB_0"]["C_0"]["Conv_0"]["kernel"]
+            cls_w = pvars["classify"]["Conv_0"]["kernel"][0, 0]
+            o = cls_w.shape[1]
+            cls_b = pvars["classify"]["Conv_0"].get(
+                "bias", jnp.zeros((o,), jnp.float32))
+            if self.last_layer_br:
+                a3, b3 = bn_affine(pvars["last_br"]["BatchNorm_0"],
+                                   svars["last_br"]["BatchNorm_0"])
+                aff3 = jnp.stack(
+                    [a3, b3, pvars["last_br"]["PReLU_0"]["alpha"]])
+            else:
+                aff3 = jnp.stack([jnp.ones((o,)), jnp.zeros((o,)),
+                                  jnp.ones((o,))])
+            wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])
+            return pyr_pool_fused_eval(
+                x, wstack.astype(jnp.float32), aff1.astype(jnp.float32),
+                merge_w.astype(jnp.float32), aff2.astype(jnp.float32),
+                cls_w.astype(jnp.float32), cls_b.astype(jnp.float32),
+                aff3.astype(jnp.float32), scales)
+
+        if use_pallas and not train:
+            # eval only: the kernel has no VJP; the train step (and anything
+            # under grad) takes the jnp path below, which is the same math
             from mspl_tpu.ops.pallas_pyrpool import pyr_branches_pallas
 
             wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])

@@ -17,8 +17,8 @@ All upsampling is align_corners=True bilinear (SURVEY.md §7 "Resize parity").
 
 TPU-first design notes: NHWC layout; all ops static-shaped and jit-friendly;
 `compute_dtype=bfloat16` runs the conv stack in bf16 while keeping params and
-BN statistics in fp32 (bf16 inputs are cast at entry, logits are returned in
-fp32 for the softmax/fusion stage).
+BN statistics in fp32 (bf16 inputs are cast at entry; logits are returned in
+the compute dtype — consumers upcast to fp32 where it matters).
 """
 
 from __future__ import annotations
@@ -173,5 +173,9 @@ class ESPNetv2Segmentation(nn.Module):
             proj, dec_planes[3], last_layer_br=False, name="bu_dec_l4"
         )(out, train=train)
 
-        out = resize_bilinear(out, (x.shape[1], x.shape[2]), align_corners=True)
-        return out.astype(jnp.float32)
+        # logits stay in compute dtype (bf16 under compute_dtype=bfloat16 —
+        # halves the traffic of this full-resolution resize and of the
+        # downstream softmax); every consumer (losses, pseudo fusion,
+        # metrics) upcasts to fp32 itself.
+        return resize_bilinear(out, (x.shape[1], x.shape[2]),
+                               align_corners=True)

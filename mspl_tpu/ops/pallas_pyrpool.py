@@ -97,6 +97,172 @@ def _kernel(scales, sizes, h, w, p, x_ref, w_ref, *mat_refs_and_out):
             out_ref[0, si * p + c, :, :] = y.astype(out_ref.dtype)
 
 
+def _prelu(x, alpha):
+    return jnp.maximum(x, 0.0) + alpha * jnp.minimum(x, 0.0)
+
+
+def _fused_kernel(scales, sizes, h, w, p, o, x_ref, w_ref, aff1_ref, mw_ref,
+                  aff2_ref, clsw_ref, tail_ref, *mats_out_scratch):
+    """Whole EfficientPyrPool (minus proj), eval mode — one (image, channel)
+    per grid step so the per-channel temporaries are allocated once (the
+    channel-unrolled variant blew the 16 MB VMEM scope at 35 MB).
+
+    Per step: compute the channel's 5 scale branches, post-concat
+    BN-affine+PReLU, the (shuffled) grouped 3x3 merge taps with its
+    BN-affine+PReLU, and accumulate the 1x1 classifier contribution into an
+    f32 VMEM scratch; the last channel applies bias + last BN-affine+PReLU
+    and writes the output block."""
+    mat_refs = mats_out_scratch[:-2]
+    out_ref = mats_out_scratch[-2]
+    acc_ref = mats_out_scratch[-1]
+    c = pl.program_id(1)
+
+    taps = w_ref[0].astype(jnp.float32)    # [S, 9] this channel's dw taps
+    aff1 = aff1_ref[0].astype(jnp.float32)  # [3, S]
+    mw = mw_ref[0].astype(jnp.float32)      # [S, 9]
+    aff2 = aff2_ref[0, 0].astype(jnp.float32)  # [3]
+    clsw = clsw_ref[0, 0].astype(jnp.float32)  # [O]
+
+    mi = 0
+    ops = []
+    for si, s in enumerate(scales):
+        if s == 1.0:
+            ops.append(None)
+        else:
+            ops.append(tuple(mat_refs[mi + j][:] for j in range(4)))
+            mi += 4
+
+    plane = x_ref[0, 0, :, :].astype(jnp.float32)  # [H, W]
+    merged = None
+    for si, s in enumerate(scales):
+        if ops[si] is None:
+            y = plane
+        else:
+            down_h, down_w, up_h, up_w = ops[si]
+            y = jax.lax.dot(down_h, plane,
+                            preferred_element_type=jnp.float32)
+            y = jax.lax.dot(y, down_w, preferred_element_type=jnp.float32)
+        y = _dw3x3_same(y, taps[si, :])
+        if ops[si] is not None:
+            down_h, down_w, up_h, up_w = ops[si]
+            y = jax.lax.dot(up_h, y, preferred_element_type=jnp.float32)
+            y = jax.lax.dot(y, up_w, preferred_element_type=jnp.float32)
+        y = _prelu(y * aff1[0, si] + aff1[1, si], aff1[2, si])
+        # shuffled grouped merge: group c sums dw3x3 over its S branches
+        t = _dw3x3_same(y, mw[si, :])
+        merged = t if merged is None else merged + t
+    merged = _prelu(merged * aff2[0] + aff2[1], aff2[2])
+
+    # scalar-broadcast loops: Mosaic rejects [O] -> [O,1,1] shape casts, so
+    # the classifier/tail run per output plane with scalar weights
+    @pl.when(c == 0)
+    def _init():
+        for oc in range(o):
+            acc_ref[oc] = merged * clsw[oc]
+
+    @pl.when(c > 0)
+    def _accum():
+        for oc in range(o):
+            acc_ref[oc] += merged * clsw[oc]
+
+    @pl.when(c == p - 1)
+    def _flush():
+        tail = tail_ref[:].astype(jnp.float32)  # [4, O] bias, a3, b3, alpha3
+        for oc in range(o):
+            y = acc_ref[oc] + tail[0, oc]
+            y = _prelu(y * tail[1, oc] + tail[2, oc], tail[3, oc])
+            out_ref[0, oc] = y.astype(out_ref.dtype)
+
+
+def pyr_pool_fused_eval(
+    x: jnp.ndarray,
+    dw_weights: jnp.ndarray,
+    aff1: jnp.ndarray,
+    merge_weights: jnp.ndarray,
+    aff2: jnp.ndarray,
+    cls_w: jnp.ndarray,
+    cls_b: jnp.ndarray,
+    aff3: jnp.ndarray,
+    scales: Sequence[float],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """EfficientPyrPool minus the projection conv, fused, eval mode.
+
+    x: [B, H, W, P] projected features.
+    dw_weights: [S, 3, 3, P] branch depthwise taps.
+    aff1: [3, S*P] post-concat BN-as-affine (scale, bias) + PReLU alpha, in
+        concat channel order c = si*P + p.
+    merge_weights: [3, 3, S, P] grouped merge kernel (HWIO of the reference
+        CBR(groups=P) applied after channel_shuffle — group p consumes the
+        S branches of channel p).
+    aff2: [3, P] merge BN-affine + PReLU alpha.
+    cls_w: [P, O] classifier 1x1; cls_b: [O] (zeros when the classifier has
+        no bias).  aff3: [3, O] last BN-affine + PReLU alpha (identity rows
+        (1, 0, 1) when last_layer_br=False).
+    Returns [B, H, W, O].
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, h, w, p = x.shape
+    s_n = len(scales)
+    o = cls_w.shape[1]
+    if dw_weights.shape != (s_n, 3, 3, p):
+        raise ValueError(f"dw_weights {dw_weights.shape} != {(s_n, 3, 3, p)}")
+    if merge_weights.shape != (3, 3, s_n, p):
+        raise ValueError(
+            f"merge_weights {merge_weights.shape} != {(3, 3, s_n, p)}")
+    sizes = _branch_sizes(h, w, scales)
+
+    mats = []
+    for si, s in enumerate(scales):
+        hs, ws = sizes[si]
+        if s == 1.0:
+            continue
+        if s < 1.0:
+            dh = _adaptive_avg_matrix(h, hs)
+            dw_ = _adaptive_avg_matrix(w, ws)
+        else:
+            dh = _interp_matrix(h, hs, True)
+            dw_ = _interp_matrix(w, ws, True)
+        uh = _interp_matrix(hs, h, True)
+        uw = _interp_matrix(ws, w, True)
+        mats += [jnp.asarray(dh), jnp.asarray(dw_.T),
+                 jnp.asarray(uh), jnp.asarray(uw.T)]
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    xp = jnp.transpose(x, (0, 3, 1, 2))  # [B, P, H, W]
+    # channel-leading param packs: Pallas TPU requires the last two block
+    # dims to cover the array (or be (8,128)-aligned), so the per-channel
+    # block is always (1, <full trailing dims>)
+    wk = jnp.transpose(dw_weights.reshape(s_n, 9, p), (2, 0, 1))  # [P, S, 9]
+    aff1_r = jnp.transpose(aff1.reshape(3, s_n, p), (2, 0, 1))    # [P, 3, S]
+    mwk = jnp.transpose(merge_weights.reshape(9, s_n, p), (2, 1, 0))  # [P,S,9]
+    aff2_r = aff2.T[:, None, :]                                   # [P, 1, 3]
+    clsw_r = cls_w[:, None, :]                                    # [P, 1, O]
+    tail = jnp.concatenate([cls_b[None, :], aff3], axis=0)        # [4, O]
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i, c: (0,) * len(shape))
+    out = pl.pallas_call(
+        partial(_fused_kernel, tuple(scales), sizes, h, w, p, o),
+        grid=(b, p),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w), lambda i, c: (i, c, 0, 0)),
+            pl.BlockSpec((1, s_n, 9), lambda i, c: (c, 0, 0)),
+            pl.BlockSpec((1, 3, s_n), lambda i, c: (c, 0, 0)),
+            pl.BlockSpec((1, s_n, 9), lambda i, c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, 3), lambda i, c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, o), lambda i, c: (c, 0, 0)),
+            full(tail.shape),
+            *[full(m.shape) for m in mats],
+        ],
+        out_specs=pl.BlockSpec((1, o, h, w), lambda i, c: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, o, h, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((o, h, w), jnp.float32)],
+        interpret=interpret,
+    )(xp, wk, aff1_r, mwk, aff2_r, clsw_r, tail, *mats)
+    return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, O]
+
+
 def pyr_branches_pallas(
     x: jnp.ndarray,
     weights: jnp.ndarray,

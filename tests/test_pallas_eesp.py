@@ -65,5 +65,7 @@ def test_model_pallas_flag_parity():
                     jnp.float32)
     out_ref = m_ref.apply(variables, x, train=False)
     out_pal = m_pal.apply(variables, x, train=False)
+    # atol 5e-5: the dense block-diagonal grouped-conv form (ops/grouped_conv)
+    # accumulates in a different order than the per-branch lax path
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-4, atol=5e-5)

@@ -1,0 +1,42 @@
+"""The fused eval-mode pyramid-pool kernel (pyr_pool_fused_eval) must match
+the module's jnp path: BN running-stat affines + PReLU + shuffle + grouped
+merge + classifier + optional last BR, end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mspl_tpu.layers.pyramid_pool import EfficientPyrPool
+
+
+def _randomize_stats(v, rng):
+    """Random running stats so BN-affine folding is actually exercised."""
+    def walk(tree):
+        out = {}
+        for k, sub in tree.items():
+            if k == "mean":
+                out[k] = jnp.asarray(rng.randn(*sub.shape) * 0.3, sub.dtype)
+            elif k == "var":
+                out[k] = jnp.asarray(
+                    0.5 + rng.rand(*sub.shape).astype(np.float32))
+            else:
+                out[k] = walk(sub)
+        return out
+    return {"params": v["params"], "batch_stats": walk(v["batch_stats"])}
+
+
+@pytest.mark.parametrize("last_br", [True, False])
+def test_fused_eval_matches_jnp(last_br):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 20, 12), jnp.float32)
+    mod_ref = EfficientPyrPool(8, 16, last_layer_br=last_br, use_pallas=False)
+    mod_fused = EfficientPyrPool(8, 16, last_layer_br=last_br, use_pallas=True,
+                                 fuse_tail=True)
+    v = mod_ref.init(jax.random.PRNGKey(0), x, train=False)
+    v = _randomize_stats(v, rng)
+    want = mod_ref.apply(v, x, train=False)
+    got = mod_fused.apply(v, x, train=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
