@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mspl_tpu.layers.conv_blocks import BR, C, CB, CBR
-from mspl_tpu.ops.resize import adaptive_avg_pool, resize_bilinear
 
 
 def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
@@ -110,31 +109,17 @@ class EfficientPyrPool(nn.Module):
                 cls_w.astype(jnp.float32), cls_b.astype(jnp.float32),
                 aff3.astype(jnp.float32), scales)
 
-        if use_pallas and not train:
-            # eval only: the kernel has no VJP; the train step (and anything
-            # under grad) takes the jnp path below, which is the same math
+        wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])
+        if use_pallas:
+            # differentiable: the kernel carries a custom VJP (backward runs
+            # the jnp reference's VJP), so the train step may use it too
             from mspl_tpu.ops.pallas_pyrpool import pyr_branches_pallas
 
-            wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])
             out = pyr_branches_pallas(x, wstack.astype(x.dtype), scales)
         else:
-            from mspl_tpu.ops.grouped_conv import depthwise_conv3x3
+            from mspl_tpu.ops.pallas_pyrpool import pyr_branches_jnp
 
-            branches = []
-            for i, s in enumerate(scales):
-                hs = max(int(math.ceil(h * s)), 5)
-                ws = max(int(math.ceil(w * s)), 5)
-                if s < 1.0:
-                    y = adaptive_avg_pool(x, (hs, ws))
-                elif s > 1.0:
-                    y = resize_bilinear(x, (hs, ws), align_corners=True)
-                else:
-                    y = x
-                y = depthwise_conv3x3(y, dw_kernels[i].astype(y.dtype))
-                if s != 1.0:
-                    y = resize_bilinear(y, (h, w), align_corners=True)
-                branches.append(y)
-            out = jnp.concatenate(branches, axis=-1)
+            out = pyr_branches_jnp(x, wstack, scales)
         out = BR(out.shape[-1], name="merge_br")(out, train=train)
         out = channel_shuffle(out, groups=len(scales))
         out = CBR(p, kernel_size=3, stride=1, groups=p, name="merge_cbr")(

@@ -101,6 +101,30 @@ def _prelu(x, alpha):
     return jnp.maximum(x, 0.0) + alpha * jnp.minimum(x, 0.0)
 
 
+def pyr_branches_jnp(x: jnp.ndarray, weights: jnp.ndarray,
+                     scales: Sequence[float]) -> jnp.ndarray:
+    """jnp reference of the branch stack (shared by the CPU path, the
+    kernel's parity tests, and the kernel's custom-VJP backward)."""
+    from mspl_tpu.ops.grouped_conv import depthwise_conv3x3
+    from mspl_tpu.ops.resize import adaptive_avg_pool, resize_bilinear
+
+    b, h, w, p = x.shape
+    branches = []
+    for i, s in enumerate(scales):
+        hs, ws = _branch_sizes(h, w, (s,))[0]
+        if s < 1.0:
+            y = adaptive_avg_pool(x, (hs, ws))
+        elif s > 1.0:
+            y = resize_bilinear(x, (hs, ws), align_corners=True)
+        else:
+            y = x
+        y = depthwise_conv3x3(y, weights[i][:, :, None, :].astype(y.dtype))
+        if s != 1.0:
+            y = resize_bilinear(y, (h, w), align_corners=True)
+        branches.append(y)
+    return jnp.concatenate(branches, axis=-1)
+
+
 def _fused_kernel(scales, sizes, h, w, p, o, x_ref, w_ref, aff1_ref, mw_ref,
                   aff2_ref, clsw_ref, tail_ref, *mats_out_scratch):
     """Whole EfficientPyrPool (minus proj), eval mode — one (image, channel)
@@ -263,13 +287,13 @@ def pyr_pool_fused_eval(
     return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, O]
 
 
-def pyr_branches_pallas(
+def _pyr_branches_impl(
     x: jnp.ndarray,
     weights: jnp.ndarray,
     scales: Sequence[float],
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused pyramid-pool branch stack.
+    """Fused pyramid-pool branch stack (raw pallas_call, no VJP).
 
     x: [B, H, W, P] projected features; weights: [S, 3, 3, P] depthwise taps
     (branch si uses weights[si]); scales: S floats, sorted as the caller's
@@ -319,3 +343,44 @@ def pyr_branches_pallas(
         interpret=interpret,
     )(xp, wk, *mats)
     return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, S*P]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _branches_with_vjp(scales: Tuple[float, ...]):
+    """custom-VJP wrapper per static scale tuple: Pallas forward, backward
+    via jax.vjp over the jnp reference (the stack is the same math, so the
+    gradient is exact up to fp accumulation order) — this keeps the kernel
+    usable inside the training step."""
+
+    @jax.custom_vjp
+    def f(x, w):
+        return _pyr_branches_impl(x, w, scales)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        _, vjp = jax.vjp(lambda xx, ww: pyr_branches_jnp(xx, ww, scales),
+                         x, w)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def pyr_branches_pallas(
+    x: jnp.ndarray,
+    weights: jnp.ndarray,
+    scales: Sequence[float],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Public entry: differentiable fused branch stack (see _pyr_branches_impl
+    for semantics; backward runs the jnp reference's VJP)."""
+    if interpret:
+        return _pyr_branches_impl(x, weights, scales, interpret=True)
+    return _branches_with_vjp(tuple(scales))(x, weights)
+

@@ -48,6 +48,27 @@ def test_pyr_kernel_matches_jnp(hw, p):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_branch_kernel_grad_matches_jnp():
+    """custom-VJP backward (jnp-reference VJP) == grad of the jnp stack."""
+    from mspl_tpu.ops.pallas_pyrpool import pyr_branches_jnp, pyr_branches_pallas
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 10, 12, 6), jnp.float32)
+    w = jnp.asarray(rng.randn(len(SCALES), 3, 3, 6) * 0.3, jnp.float32)
+
+    def loss_k(x, w):
+        return jnp.sum(pyr_branches_pallas(x, w, SCALES) ** 2)
+
+    def loss_j(x, w):
+        return jnp.sum(pyr_branches_jnp(x, w, SCALES) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    gj = jax.grad(loss_j, argnums=(0, 1))(x, w)
+    for a, b in zip(gk, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_pyrpool_module_paths_agree():
     """EfficientPyrPool(use_pallas=True/False) share parameters and agree."""
     from mspl_tpu.layers.pyramid_pool import EfficientPyrPool
