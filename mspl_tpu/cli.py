@@ -218,6 +218,11 @@ def cmd_pseudo(args) -> Dict:
             save_colorized_png(
                 labels[j], os.path.join(args.out_dir,
                                         f"viz_{int(idx):06d}.png"))
+        if args.save_conf:
+            # per-pixel fused max-prob confidence (reference writes these
+            # alongside the label PNGs, BASELINE.json:8)
+            np.save(os.path.join(args.out_dir, f"conf_{int(idx):06d}.npy"),
+                    confs[j].astype(np.float16))
         img_paths.append(ds.pairs[int(idx)][0])
         lab_paths.append(lp)
     write_train_list(os.path.join(args.out_dir, "train_list.txt"),
@@ -317,6 +322,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="class-balanced portion (overrides --threshold)")
     g.add_argument("--batch-size", type=int, default=8)
     g.add_argument("--save-viz", action="store_true")
+    g.add_argument("--save-conf", action="store_true",
+                   help="also write per-image fused confidence maps (.npy)")
     g.add_argument("--size", type=int, nargs=2, default=None,
                    metavar=("W", "H"))
     g.add_argument("--pallas", action="store_true")
