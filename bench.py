@@ -43,23 +43,26 @@ def main():
 
     from mspl_tpu.data.label_space import label_conversion_matrix
     from mspl_tpu.models import ESPNetv2Segmentation, init_model
-    from mspl_tpu.pseudo.generate import fused_pseudo_pass
+    from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_soft_cm
 
     rng = jax.random.PRNGKey(0)
     sources = []
     for name, classes in (("camvid", 11), ("cityscapes", 19), ("forest", 5)):
+        # channel-major logits: the final resize einsum emits [B,C,H,W] for
+        # free, feeding the fused Pallas pseudo pass with W as lanes
         model = ESPNetv2Segmentation(num_classes=classes, s=2.0,
-                                     compute_dtype=jnp.bfloat16)
+                                     compute_dtype=jnp.bfloat16,
+                                     channel_major_logits=True)
         variables = init_model(model, HW, rng=jax.random.fold_in(rng, classes))
         sources.append((model, variables, label_conversion_matrix(name)))
 
     kc = jnp.asarray(np.full(3, 0.5, np.float32))
+    mats = [c for _, _, c in sources]
 
     @jax.jit
     def pseudo_batch(imgs):
         logits = [m.apply(v, imgs, train=False) for m, v, _ in sources]
-        mats = [c for _, _, c in sources]
-        return fused_pseudo_pass(logits, mats, mode="soft", kc=kc)
+        return fused_pseudo_soft_cm(logits, mats, kc=kc)
 
     imgs = jax.device_put(
         jax.random.normal(rng, (BATCH, *HW, 3), jnp.float32))

@@ -172,15 +172,20 @@ def cmd_eval(args) -> Dict:
     return {"iou": iou, "miou": miou}
 
 
-def _load_sources(ckpts, num_target: int):
+def _load_sources(ckpts, num_target: int, fusion: str = "soft"):
+    import jax
+
     from mspl_tpu.pseudo.generate import make_source
 
+    # channel-major logits feed the fused Pallas pass (soft mode, TPU) —
+    # strictly faster there, pointless on the CPU/interpret path
+    channel_major = fusion == "soft" and jax.default_backend() != "cpu"
     sources = []
     for c in ckpts:
         model, variables, meta = load_model_checkpoint(c)
         sources.append(
             make_source(meta["dataset"], model, variables, meta["dataset"],
-                        num_target=num_target)
+                        num_target=num_target, channel_major=channel_major)
         )
     return sources
 
@@ -195,7 +200,7 @@ def cmd_pseudo(args) -> Dict:
 
     info = dataset_info("greenhouse")
     t = info.num_classes
-    sources = _load_sources(args.checkpoints, t)
+    sources = _load_sources(args.checkpoints, t, fusion=args.fusion)
     ds = GreenhouseRGBD(args.data_root, args.target_list,
                         size_wh=tuple(args.size) if args.size else None)
     loader = DataLoader(ds, args.batch_size)
@@ -244,7 +249,7 @@ def cmd_selftrain(args) -> Dict:
 
     info = dataset_info("greenhouse")
     t = info.num_classes
-    sources = _load_sources(args.checkpoints, t)
+    sources = _load_sources(args.checkpoints, t, fusion=args.fusion)
     size_wh = tuple(args.size) if args.size else None
     target_ds = GreenhouseRGBD(args.data_root, args.target_list,
                                size_wh=size_wh)

@@ -138,6 +138,10 @@ class ESPNetv2Segmentation(nn.Module):
     dec_base_planes: int = 16
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # emit logits as channel-major [B, C, H, W]: the final resize einsum
+    # absorbs the layout change for free, and the fused pseudo-label kernel
+    # (ops/pallas_pseudo_cm.py) wants W as the lane dim
+    channel_major_logits: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -177,5 +181,10 @@ class ESPNetv2Segmentation(nn.Module):
         # halves the traffic of this full-resolution resize and of the
         # downstream softmax); every consumer (losses, pseudo fusion,
         # metrics) upcasts to fp32 itself.
+        if self.channel_major_logits:
+            from mspl_tpu.ops.resize import resize_bilinear_to_cm
+
+            return resize_bilinear_to_cm(out, (x.shape[1], x.shape[2]),
+                                         align_corners=True)
         return resize_bilinear(out, (x.shape[1], x.shape[2]),
                                align_corners=True)

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused softmax→label-space-convert→soft-fuse→threshold
+over CHANNEL-MAJOR logits (BASELINE.json:5 north-star fused pass, take 2).
+
+The jnp fusion pass costs ~9.5 ms of the 134 ms bench batch (7%) because in
+NHWC the class dim (5-19) is the lane dim — 6-25x lane waste on every
+softmax/convert op, plus layout copies.  The earlier pixel-major kernel
+(ops/pallas_pseudo.py) suffered the same padding.  This kernel instead takes
+logits as [B, C, H, W] (the model emits them that way for free — the final
+resize einsum absorbs the transpose, see resize_bilinear_to_cm) and works on
+[h_block, W] planes with W as the lane dim:
+
+  grid = (B, H/h_block); per model: per-class planes -> running max ->
+  exp/sum -> converted target probs as SPARSE sums (the conversion matrices
+  are static 0/1-ish numpy tables, so q_t = sum of the source-class planes
+  mapped to t — no matmul, no zero terms) -> accumulate over models ->
+  argmax/max over the T target planes -> per-class kc threshold -> ignore.
+
+Soft fusion only (the paper's headline mode); hard fusion keeps the jnp path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from mspl_tpu.utils.registry import IGNORE_LABEL
+
+
+def _pick_hblock(h: int, target: int = 64) -> Optional[int]:
+    for cand in (target, 32, 16, 8):
+        if h % cand == 0:
+            return cand
+    return None
+
+
+def _kernel(convs, n_t, ignore_label, *refs):
+    """refs = [logits_1 .. logits_N, kc, out_label, out_conf].
+
+    logits_m block [1, C_m, hb, W]; kc [1, T]; outputs [1, hb, W].
+    convs: static numpy [C_m, T+1] tables (sparse-expanded at trace time).
+    """
+    n_models = len(convs)
+    kc_ref = refs[n_models]
+    lbl_ref = refs[n_models + 1]
+    conf_ref = refs[n_models + 2]
+
+    fused = [None] * n_t
+    for m, conv in enumerate(convs):
+        x = refs[m][0].astype(jnp.float32)  # [C_m, hb, W]
+        c_m = conv.shape[0]
+        planes = [x[c] for c in range(c_m)]
+        mx = planes[0]
+        for pplane in planes[1:]:
+            mx = jnp.maximum(mx, pplane)
+        exps = [jnp.exp(pplane - mx) for pplane in planes]
+        tot = exps[0]
+        for e in exps[1:]:
+            tot = tot + e
+        inv = 1.0 / tot
+        for t in range(n_t):
+            q = None
+            for c in range(c_m):
+                wgt = float(conv[c, t])
+                if wgt == 0.0:
+                    continue
+                term = exps[c] if wgt == 1.0 else exps[c] * wgt
+                q = term if q is None else q + term
+            if q is None:
+                continue
+            q = q * inv
+            fused[t] = q if fused[t] is None else fused[t] + q
+
+    scale = 1.0 / n_models
+    zero = None
+    for t in range(n_t):
+        if fused[t] is not None:
+            zero = fused[t] * 0.0
+            break
+    fused = [zero if f is None else f * scale for f in fused]
+
+    lbl = jnp.zeros_like(fused[0], jnp.int32)
+    best = fused[0]
+    for t in range(1, n_t):
+        better = fused[t] > best
+        lbl = jnp.where(better, t, lbl)
+        best = jnp.maximum(best, fused[t])
+
+    thr = jnp.zeros_like(best)
+    for t in range(n_t):
+        thr = jnp.where(lbl == t, kc_ref[0, t], thr)
+    lbl = jnp.where(best >= thr, lbl, ignore_label)
+    lbl_ref[0] = lbl
+    conf_ref[0] = best
+
+
+def fused_pseudo_soft_cm(
+    logits_cm: Sequence[jnp.ndarray],
+    conversions: Sequence[np.ndarray],
+    kc: Optional[jnp.ndarray],
+    ignore_label: int = IGNORE_LABEL,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft-fusion pseudo-label pass on channel-major logits.
+
+    logits_cm: N tensors [B, C_m, H, W]; conversions: N static numpy
+    [C_m, T+1] tables; kc: [T] thresholds or None (no thresholding).
+    Returns (label int32 [B,H,W], conf f32 [B,H,W]) — same semantics as
+    fused_pseudo_pass(mode='soft') on NHWC logits.
+    """
+    if not logits_cm or len(logits_cm) != len(conversions):
+        raise ValueError("need N>=1 matching logits/conversion pairs")
+    convs = [np.asarray(c, np.float32) for c in conversions]
+    n_t = int(convs[0].shape[1]) - 1
+    b, _, h, w = logits_cm[0].shape
+    hb = _pick_hblock(h)
+    interpret = interpret or jax.default_backend() == "cpu"
+    if hb is None:
+        raise ValueError(f"H={h} not divisible by 8; use the jnp path")
+    kc_arr = (jnp.zeros((1, n_t), jnp.float32) if kc is None
+              else jnp.broadcast_to(
+                  jnp.asarray(kc, jnp.float32), (n_t,)).reshape(1, n_t))
+
+    grid = (b, h // hb)
+    in_specs = [
+        pl.BlockSpec((1, int(x.shape[1]), hb, w),
+                     lambda i, j: (i, 0, j, 0))
+        for x in logits_cm
+    ]
+    in_specs.append(pl.BlockSpec((1, n_t), lambda i, j: (0, 0)))
+    out_spec = pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0))
+    lbl, conf = pl.pallas_call(
+        partial(_kernel, convs, n_t, ignore_label),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*logits_cm, kc_arr)
+    return lbl, conf

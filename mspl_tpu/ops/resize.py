@@ -83,6 +83,35 @@ def resize_bilinear(
     return out[0] if squeeze else out
 
 
+def resize_bilinear_to_cm(
+    x: jnp.ndarray,
+    size_hw: Tuple[int, int],
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Bilinear resize NHWC -> CHANNEL-MAJOR [B, C, H', W'].
+
+    The H-resize einsum writes a fresh tensor anyway, so emitting it in
+    channel-major order folds the layout change into the resize for free —
+    used when the consumer (the fused pseudo-label kernel,
+    mspl_tpu/ops/pallas_pseudo_cm.py) wants W as the TPU lane dimension.
+    """
+    if x.ndim != 4:
+        raise ValueError(f"expected NHWC input, got shape {x.shape}")
+    _, h_in, w_in, _ = x.shape
+    h_out, w_out = size_hw
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if h_in != h_out:
+        ah = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
+        xf = jnp.einsum("oh,bhwc->bcow", ah, xf)
+    else:
+        xf = jnp.transpose(xf, (0, 3, 1, 2))
+    if w_in != w_out:
+        aw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
+        xf = jnp.einsum("ow,bchw->bcho", aw, xf)
+    return xf.astype(dtype)
+
+
 @lru_cache(maxsize=None)
 def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
     """[out, in] matrix implementing torch adaptive_avg_pool1d bin semantics:

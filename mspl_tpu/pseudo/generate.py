@@ -37,7 +37,9 @@ from mspl_tpu.utils.registry import IGNORE_LABEL
 class SourceModel:
     """A source network packaged for the pseudo-label engine.
 
-    apply_fn: imgs [B,H,W,3] (normalized fp32) -> logits [B,H,W,C_src];
+    apply_fn: imgs [B,H,W,3] (normalized fp32) -> logits [B,H,W,C_src]
+    (or [B,C_src,H,W] when channel_major — the layout the fused Pallas
+    pass wants, emitted for free by the model's final resize einsum);
     conversion: float32 [C_src, T+1] pooling matrix into the target space
     (last column = mass mapped to ignore).
     """
@@ -45,18 +47,36 @@ class SourceModel:
     name: str
     apply_fn: Callable[[jnp.ndarray], jnp.ndarray]
     conversion: np.ndarray
+    channel_major: bool = False
 
 
 def make_source(name: str, model, variables, src_dataset: str,
-                num_target: int = 3) -> SourceModel:
-    """Wrap a flax segmentation model + trained variables as a SourceModel."""
-    def apply_fn(imgs):
-        return model.apply(variables, imgs, train=False)
+                num_target: int = 3, channel_major: bool = False) -> SourceModel:
+    """Wrap a flax segmentation model + trained variables as a SourceModel.
+
+    channel_major=True requests [B,C,H,W] logits: models that support
+    `channel_major_logits` emit them at zero cost; others get an explicit
+    transpose appended."""
+    import dataclasses as _dc
+
+    if channel_major and hasattr(model, "channel_major_logits"):
+        model = _dc.replace(model, channel_major_logits=True)
+
+        def apply_fn(imgs):
+            return model.apply(variables, imgs, train=False)
+    elif channel_major:
+        def apply_fn(imgs):
+            out = model.apply(variables, imgs, train=False)
+            return jnp.transpose(out, (0, 3, 1, 2))
+    else:
+        def apply_fn(imgs):
+            return model.apply(variables, imgs, train=False)
 
     return SourceModel(
         name=name,
         apply_fn=apply_fn,
         conversion=label_conversion_matrix(src_dataset, num_target),
+        channel_major=channel_major,
     )
 
 
@@ -154,7 +174,21 @@ def generate_pseudo_labels(
     conversions = [s.conversion for s in sources]
     kc_dev = None if kc is None else jnp.asarray(kc, jnp.float32)
 
-    if use_pallas:
+    channel_major = any(s.channel_major for s in sources)
+    if channel_major and not all(s.channel_major for s in sources):
+        raise ValueError("all sources must agree on channel_major")
+    if channel_major and mode != "soft":
+        raise ValueError("channel_major sources support soft fusion only")
+
+    if channel_major:
+        from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_soft_cm
+
+        def pass_fn(logits_list):
+            return fused_pseudo_soft_cm(
+                logits_list, conversions, kc=kc_dev,
+                ignore_label=ignore_label,
+            )
+    elif use_pallas:
         from mspl_tpu.ops.pallas_pseudo import fused_pseudo_pass_pallas
 
         def pass_fn(logits_list):
