@@ -50,13 +50,15 @@ def _branch_sizes(h: int, w: int, scales: Sequence[float]) -> Tuple[Tuple[int, i
 
 
 def _dw3x3_same(plane: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """3x3 depthwise ('same', zero pad) on a 2-D [h, w] plane; taps [9]."""
+    """3x3 depthwise ('same', zero pad) on a 2-D [h, w] plane; taps [9] f32
+    (scalars are extracted in f32 — a Mosaic requirement — then cast to the
+    plane dtype so bf16 planes stay bf16 on the VPU)."""
     h, w = plane.shape
     padded = jnp.pad(plane, ((1, 1), (1, 1)))
     acc = None
     for iy in range(3):
         for ix in range(3):
-            tap = taps[iy * 3 + ix]
+            tap = taps[iy * 3 + ix].astype(plane.dtype)
             win = padded[iy:iy + h, ix:ix + w]
             t = win * tap
             acc = t if acc is None else acc + t
@@ -66,7 +68,17 @@ def _dw3x3_same(plane: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 def _kernel(scales, sizes, h, w, p, x_ref, w_ref, *mat_refs_and_out):
     mat_refs = mat_refs_and_out[:-1]
     out_ref = mat_refs_and_out[-1]
+    # compute in the input dtype (bf16 in production: f32xf32 MXU dots run
+    # at a fraction of bf16 rate) with f32 dot accumulation; f32 inputs
+    # (CPU parity tests) keep the exact old behavior
+    cdt = x_ref.dtype
+    # taps stay f32: Mosaic only squeezes 32-bit scalars out of arrays; the
+    # per-tap scalar is cast to the compute dtype after extraction
     taps_all = w_ref[:].astype(jnp.float32)  # [S, 9, P]
+
+    def dot(a, b):
+        return jax.lax.dot(a.astype(cdt), b.astype(cdt),
+                           preferred_element_type=jnp.float32).astype(cdt)
 
     mi = 0
     for si, s in enumerate(scales):
@@ -80,20 +92,16 @@ def _kernel(scales, sizes, h, w, p, x_ref, w_ref, *mat_refs_and_out):
             up_w = mat_refs[mi + 3][:]    # [ws, W]
             mi += 4
         for c in range(p):
-            plane = x_ref[0, c, :, :].astype(jnp.float32)  # [H, W]
+            plane = x_ref[0, c, :, :]  # [H, W]
             if s != 1.0:
-                y = jax.lax.dot(down_h, plane,
-                                preferred_element_type=jnp.float32)  # [hs, W]
-                y = jax.lax.dot(y, down_w,
-                                preferred_element_type=jnp.float32)  # [hs, ws]
+                y = dot(down_h, plane)   # [hs, W]
+                y = dot(y, down_w)       # [hs, ws]
             else:
                 y = plane
             y = _dw3x3_same(y, taps_all[si, :, c])
             if s != 1.0:
-                y = jax.lax.dot(up_h, y,
-                                preferred_element_type=jnp.float32)  # [H, ws]
-                y = jax.lax.dot(y, up_w,
-                                preferred_element_type=jnp.float32)  # [H, W]
+                y = dot(up_h, y)         # [H, ws]
+                y = dot(y, up_w)         # [H, W]
             out_ref[0, si * p + c, :, :] = y.astype(out_ref.dtype)
 
 
