@@ -49,6 +49,11 @@ class EfficientPyrPool(nn.Module):
     # kernel at eval: wins only for narrow heads (the classifier stage);
     # wide inner stages (O>=32) lose to branch-kernel + XLA tail
     fuse_tail: bool = False
+    # with fuse_tail: return [B, O, H, W] instead of NHWC (the fused eval
+    # kernel computes channel-major anyway; skipping the transpose lets the
+    # final logits resize consume it directly).  The contract holds on every
+    # path: the train/jnp path transposes to match.
+    channel_major_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -107,7 +112,8 @@ class EfficientPyrPool(nn.Module):
                 x, wstack.astype(jnp.float32), aff1.astype(jnp.float32),
                 merge_w.astype(jnp.float32), aff2.astype(jnp.float32),
                 cls_w.astype(jnp.float32), cls_b.astype(jnp.float32),
-                aff3.astype(jnp.float32), scales)
+                aff3.astype(jnp.float32), scales,
+                channel_major_out=self.channel_major_out)
 
         wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])
         if use_pallas:
@@ -131,6 +137,8 @@ class EfficientPyrPool(nn.Module):
         )(out)
         if self.last_layer_br:
             out = BR(self.out_features, name="last_br")(out, train=train)
+        if self.channel_major_out:
+            out = jnp.transpose(out, (0, 3, 1, 2))
         return out
 
 

@@ -173,18 +173,24 @@ class ESPNetv2Segmentation(nn.Module):
 
         out = up_to(out, l1)
         out = out + EfficientPWC(dec_planes[2], name="merge_l4")(l1, train=train)
-        out = EfficientPyrPool(
-            proj, dec_planes[3], last_layer_br=False, name="bu_dec_l4"
-        )(out, train=train)
-
         # logits stay in compute dtype (bf16 under compute_dtype=bfloat16 —
         # halves the traffic of this full-resolution resize and of the
         # downstream softmax); every consumer (losses, pseudo fusion,
         # metrics) upcasts to fp32 itself.
         if self.channel_major_logits:
-            from mspl_tpu.ops.resize import resize_bilinear_to_cm
+            # classifier stage fuses its whole tail into the Pallas kernel
+            # at eval and emits [B, C, h, w]; the final resize stays
+            # channel-major all the way to the fused pseudo-label pass
+            from mspl_tpu.ops.resize import resize_bilinear_cm
 
-            return resize_bilinear_to_cm(out, (x.shape[1], x.shape[2]),
-                                         align_corners=True)
+            out = EfficientPyrPool(
+                proj, dec_planes[3], last_layer_br=False, fuse_tail=True,
+                channel_major_out=True, name="bu_dec_l4",
+            )(out, train=train)
+            return resize_bilinear_cm(out, (x.shape[1], x.shape[2]),
+                                      align_corners=True)
+        out = EfficientPyrPool(
+            proj, dec_planes[3], last_layer_br=False, name="bu_dec_l4"
+        )(out, train=train)
         return resize_bilinear(out, (x.shape[1], x.shape[2]),
                                align_corners=True)

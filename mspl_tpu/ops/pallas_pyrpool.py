@@ -149,11 +149,18 @@ def _fused_kernel(scales, sizes, h, w, p, o, x_ref, w_ref, aff1_ref, mw_ref,
     acc_ref = mats_out_scratch[-1]
     c = pl.program_id(1)
 
+    cdt = x_ref.dtype
+    # per-channel parameter packs stay f32 (32-bit scalar extraction);
+    # plane math runs in the input dtype with f32 dot accumulation
     taps = w_ref[0].astype(jnp.float32)    # [S, 9] this channel's dw taps
     aff1 = aff1_ref[0].astype(jnp.float32)  # [3, S]
     mw = mw_ref[0].astype(jnp.float32)      # [S, 9]
     aff2 = aff2_ref[0, 0].astype(jnp.float32)  # [3]
     clsw = clsw_ref[0, 0].astype(jnp.float32)  # [O]
+
+    def dot(a, b):
+        return jax.lax.dot(a.astype(cdt), b.astype(cdt),
+                           preferred_element_type=jnp.float32).astype(cdt)
 
     mi = 0
     ops = []
@@ -164,21 +171,21 @@ def _fused_kernel(scales, sizes, h, w, p, o, x_ref, w_ref, aff1_ref, mw_ref,
             ops.append(tuple(mat_refs[mi + j][:] for j in range(4)))
             mi += 4
 
-    plane = x_ref[0, 0, :, :].astype(jnp.float32)  # [H, W]
+    plane = x_ref[0, 0, :, :]  # [H, W]
     merged = None
     for si, s in enumerate(scales):
         if ops[si] is None:
             y = plane
         else:
             down_h, down_w, up_h, up_w = ops[si]
-            y = jax.lax.dot(down_h, plane,
-                            preferred_element_type=jnp.float32)
-            y = jax.lax.dot(y, down_w, preferred_element_type=jnp.float32)
+            y = dot(down_h, plane)
+            y = dot(y, down_w)
         y = _dw3x3_same(y, taps[si, :])
         if ops[si] is not None:
             down_h, down_w, up_h, up_w = ops[si]
-            y = jax.lax.dot(up_h, y, preferred_element_type=jnp.float32)
-            y = jax.lax.dot(y, up_w, preferred_element_type=jnp.float32)
+            y = dot(up_h, y)
+            y = dot(y, up_w)
+        y = y.astype(jnp.float32)
         y = _prelu(y * aff1[0, si] + aff1[1, si], aff1[2, si])
         # shuffled grouped merge: group c sums dw3x3 over its S branches
         t = _dw3x3_same(y, mw[si, :])
@@ -217,6 +224,7 @@ def pyr_pool_fused_eval(
     aff3: jnp.ndarray,
     scales: Sequence[float],
     interpret: bool = False,
+    channel_major_out: bool = False,
 ) -> jnp.ndarray:
     """EfficientPyrPool minus the projection conv, fused, eval mode.
 
@@ -292,6 +300,8 @@ def pyr_pool_fused_eval(
         scratch_shapes=[pltpu.VMEM((o, h, w), jnp.float32)],
         interpret=interpret,
     )(xp, wk, aff1_r, mwk, aff2_r, clsw_r, tail, *mats)
+    if channel_major_out:
+        return out  # [B, O, H, W] — feeds the channel-major resize for free
     return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, O]
 
 

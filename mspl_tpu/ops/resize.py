@@ -112,6 +112,28 @@ def resize_bilinear_to_cm(
     return xf.astype(dtype)
 
 
+def resize_bilinear_cm(
+    x: jnp.ndarray,
+    size_hw: Tuple[int, int],
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Bilinear resize on CHANNEL-MAJOR [B, C, H, W] input, staying
+    channel-major (consumes the fused pyramid-pool kernel's layout)."""
+    if x.ndim != 4:
+        raise ValueError(f"expected BCHW input, got shape {x.shape}")
+    _, _, h_in, w_in = x.shape
+    h_out, w_out = size_hw
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if h_in != h_out:
+        ah = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
+        xf = jnp.einsum("oh,bchw->bcow", ah, xf)
+    if w_in != w_out:
+        aw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
+        xf = jnp.einsum("ow,bchw->bcho", aw, xf)
+    return xf.astype(dtype)
+
+
 @lru_cache(maxsize=None)
 def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
     """[out, in] matrix implementing torch adaptive_avg_pool1d bin semantics:
