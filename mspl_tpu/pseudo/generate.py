@@ -48,6 +48,7 @@ class SourceModel:
     apply_fn: Callable[[jnp.ndarray], jnp.ndarray]
     conversion: np.ndarray
     channel_major: bool = False
+    compute_dtype: Optional[object] = None
 
 
 def make_source(name: str, model, variables, src_dataset: str,
@@ -77,6 +78,7 @@ def make_source(name: str, model, variables, src_dataset: str,
         apply_fn=apply_fn,
         conversion=label_conversion_matrix(src_dataset, num_target),
         channel_major=channel_major,
+        compute_dtype=getattr(model, "compute_dtype", None),
     )
 
 
@@ -203,16 +205,47 @@ def generate_pseudo_labels(
                 ignore_label=ignore_label,
             )
 
-    @jax.jit
-    def batch_pass(imgs8):
+    # cast the normalized batch to the models' compute dtype ONCE — feeding
+    # fp32 would make every source repeat its own f32->bf16 convert
+    dtypes = {s.compute_dtype for s in sources if s.compute_dtype is not None}
+    common_dtype = dtypes.pop() if len(dtypes) == 1 else None
+
+    def _pass(imgs8):
         imgs = norm(imgs8)
+        if common_dtype is not None:
+            imgs = imgs.astype(common_dtype)
         logits_list = [s.apply_fn(imgs) for s in sources]
         return pass_fn(logits_list)
 
     if mesh is not None:
+        # shard_map over the 'data' axis: each device runs the whole pass on
+        # its local batch shard — essential for the Pallas kernels, which
+        # GSPMD would otherwise all-gather around as opaque custom calls
         from jax.sharding import NamedSharding, PartitionSpec
 
+        try:
+            from jax import shard_map as _shard_map
+
+            def shard_map(f, mesh, in_specs, out_specs):
+                # check_vma=False: pallas_call outputs carry no varying-
+                # mesh-axes annotation
+                return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_vma=False)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as _sm
+
+            def shard_map(f, mesh, in_specs, out_specs):
+                return _sm(f, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_rep=False)
+
         data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        batch_pass = jax.jit(shard_map(
+            _pass, mesh,
+            in_specs=PartitionSpec("data"),
+            out_specs=(PartitionSpec("data"), PartitionSpec("data")),
+        ))
+    else:
+        batch_pass = jax.jit(_pass)
 
     labels, confs, indices = [], [], []
     for batch in loader:

@@ -107,3 +107,32 @@ def test_sharded_pseudo_generation_matches_single_device():
     np.testing.assert_array_equal(lab1, lab2)
     np.testing.assert_allclose(conf1, conf2, rtol=1e-6)
     np.testing.assert_array_equal(idx1, idx2)
+
+
+def test_sharded_cm_pseudo_generation_matches_single_device():
+    """Channel-major (fused-kernel-path) generation under a 'data' mesh ==
+    unsharded: the shard_map wrapper must hand the Pallas pass local
+    shards, not an all-gathered batch."""
+    from mspl_tpu.data.datasets import SyntheticSegmentation
+    from mspl_tpu.data.label_space import label_conversion_matrix
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.pseudo.generate import SourceModel, generate_pseudo_labels
+
+    conv = label_conversion_matrix("forest")
+
+    def fake_apply_cm(imgs):
+        base = jnp.stack([imgs[..., 0], imgs[..., 1], imgs[..., 2],
+                          imgs.mean(-1), -imgs.mean(-1)], axis=-1)
+        return jnp.transpose(base * 3.0, (0, 3, 1, 2))
+
+    src = SourceModel("fake_cm", fake_apply_cm, conv, channel_major=True)
+    ds = SyntheticSegmentation(num_classes=3, size_wh=(16, 16), length=16,
+                               seed=11, unlabeled=True)
+    lab1, conf1, idx1 = generate_pseudo_labels(
+        [src], DataLoader(ds, batch_size=8), mode="soft")
+    mesh = make_mesh()
+    lab2, conf2, idx2 = generate_pseudo_labels(
+        [src], DataLoader(ds, batch_size=8), mode="soft", mesh=mesh)
+    np.testing.assert_array_equal(lab1, lab2)
+    np.testing.assert_allclose(conf1, conf2, rtol=1e-6)
+    np.testing.assert_array_equal(idx1, idx2)
