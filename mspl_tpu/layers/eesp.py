@@ -62,7 +62,8 @@ class EESP(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 with_pool: bool = False):
         import jax
 
         nin = x.shape[-1]
@@ -86,7 +87,20 @@ class EESP(nn.Module):
             for i in range(self.k)
         ]
 
-        if self.use_pallas and self.stride == 1:
+        pool_out = None
+        # The fused DownSampler-front kernel (mspl_tpu/ops/pallas_downsampler)
+        # stays DISABLED: its whole-image variant exceeds the 16 MB VMEM
+        # scope and the (image, channel)-grid variant measured 269 img/s on
+        # the headline bench vs 1031 for this lax path.  Kept (with parity +
+        # grad tests) as the starting point for an H-tiled halo redesign.
+        fused_front = False
+        if fused_front and with_pool and self.stride == 2:
+            from mspl_tpu.ops.pallas_downsampler import down_front_pallas
+
+            wstack = jnp.stack([k_[:, :, 0, :] for k_ in dw_kernels])
+            pool_out, merged = down_front_pallas(
+                x, proj, wstack.astype(jnp.float32), dilations)
+        elif self.use_pallas and self.stride == 1:
             from mspl_tpu.ops.pallas_eesp import eesp_branches_pallas
 
             w = jnp.stack([k_[..., 0, :] for k_ in dw_kernels]).astype(proj.dtype)
@@ -111,6 +125,10 @@ class EESP(nn.Module):
         )
 
         if self.stride == 2 and self.down_method == "avg":
+            if with_pool:
+                if pool_out is None:  # CPU / non-fused fallback
+                    pool_out = _avg_pool_3x3_s2(x)
+                return pool_out, expanded
             return expanded
         if expanded.shape == x.shape:
             expanded = expanded + x
@@ -147,11 +165,10 @@ class DownSampler(nn.Module):
         if nout_new <= 0:
             raise ValueError(f"DownSampler needs out_features({nout}) > in({nin})")
 
-        avg_out = _avg_pool_3x3_s2(x)
-        eesp_out = EESP(
+        avg_out, eesp_out = EESP(
             nout_new, stride=2, k=self.k, r_lim=self.r_lim, down_method="avg",
             use_pallas=self.use_pallas, name="eesp",
-        )(x, train=train)
+        )(x, train=train, with_pool=True)
         out = jnp.concatenate([avg_out, eesp_out], axis=-1)
 
         if self.reinf and img is not None:
