@@ -93,4 +93,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the remote-TPU tunnel occasionally drops a compile/exec request
+    # ("response body closed", "TPU device error"); retry a couple of times
+    # so a transient doesn't record a failed benchmark
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(20)
