@@ -116,6 +116,24 @@ def cmd_train(args) -> Dict:
     )
     variables = init_model(model, train_ds.shape_hw)
 
+    if getattr(args, "pretrained_encoder", None):
+        from mspl_tpu.engine.train_cls import load_pretrained_encoder
+        from mspl_tpu.models import EESPNet
+        from mspl_tpu.utils.checkpoint import load_checkpoint
+
+        pe = args.pretrained_encoder
+        path = (os.path.join(pe, MODEL_CKPT + ".msgpack")
+                if os.path.isdir(pe) else pe)
+        with open(os.path.splitext(path)[0] + ".json") as f:
+            pmeta = json.load(f)
+        cls_model = EESPNet(s=pmeta.get("s", 2.0),
+                            num_classes=pmeta["num_classes"])
+        from mspl_tpu.models import init_model as _init
+        cls_target = _init(cls_model, tuple(pmeta.get("input_hw", (224, 224))))
+        cls_vars, _ = load_checkpoint(path, cls_target)
+        variables = load_pretrained_encoder(variables, cls_vars)
+        print_info_message(f"initialized encoder from {pe}")
+
     class_weights = None
     if args.class_weighting:
         hist = np.zeros(info.num_classes, np.int64)
@@ -147,6 +165,50 @@ def cmd_train(args) -> Dict:
          "best_miou": res["best_miou"]},
     )
     print_info_message(f"train done; best val mIoU {res['best_miou']:.4f}")
+    return res
+
+
+def cmd_pretrain(args) -> Dict:
+    """Classification pretraining of the ESPNetv2 encoder (the reference's
+    ImageNet-pretrained-encoder workflow, SURVEY.md §2 'Pretrained
+    weights'); the saved checkpoint feeds `train --pretrained-encoder`."""
+    import jax
+    import jax.numpy as jnp
+
+    from mspl_tpu.data.datasets import ClassificationListDataset
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.engine.train_cls import ClsTrainConfig, train_classification
+    from mspl_tpu.models import EESPNet, init_model
+
+    size_wh = tuple(args.size) if args.size else (224, 224)
+    train_ds = ClassificationListDataset(args.data_root, args.train_list,
+                                         size_wh=size_wh)
+    val_ds = (ClassificationListDataset(args.data_root, args.val_list,
+                                        size_wh=size_wh)
+              if args.val_list else None)
+    num_classes = max(train_ds.num_classes,
+                      val_ds.num_classes if val_ds else 0)
+    model = EESPNet(
+        s=args.s, num_classes=num_classes,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    variables = init_model(model, train_ds.shape_hw)
+    cfg = ClsTrainConfig(epochs=args.epochs, lr=args.lr,
+                         optimizer=args.optimizer, scheduler=args.scheduler,
+                         weight_decay=args.weight_decay, seed=args.seed)
+    res = train_classification(
+        model, variables,
+        DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed),
+        DataLoader(val_ds, args.batch_size) if val_ds else None, cfg)
+    state = jax.device_get(res["state"])
+    _save_model(
+        args.ckpt_dir,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        {"dataset": "classification", "model": "eespnet_cls", "s": args.s,
+         "num_classes": num_classes, "bf16": args.bf16,
+         "input_hw": list(train_ds.shape_hw),
+         "best_acc": res["best_acc"]},
+    )
+    print_info_message(f"pretrain done; best val acc {res['best_acc']:.4f}")
     return res
 
 
@@ -302,8 +364,20 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--train-list", required=True)
     t.add_argument("--val-list", default=None)
     t.add_argument("--class-weighting", action="store_true")
+    t.add_argument("--pretrained-encoder", default=None,
+                   help="classification checkpoint (from `pretrain`) whose "
+                        "encoder initializes the segmentation backbone")
     _add_common_train_flags(t)
+
+    pt = sub.add_parser(
+        "pretrain", help="classification-pretrain the ESPNetv2 encoder")
+    pt.add_argument("--data-root", required=True)
+    pt.add_argument("--train-list", required=True,
+                    help='list file: "image_path class_id" per line')
+    pt.add_argument("--val-list", default=None)
+    _add_common_train_flags(pt)
     t.set_defaults(fn=cmd_train)
+    pt.set_defaults(fn=cmd_pretrain, epochs=90, lr=0.5, scheduler="hybrid")
 
     e = sub.add_parser("eval", help="evaluate a checkpoint (per-class IoU)")
     e.add_argument("--checkpoint", required=True)

@@ -188,6 +188,42 @@ class GreenhouseRGBD(SegmentationDataset):
         super().__init__(dataset_info("greenhouse"), root, list_file, size_wh)
 
 
+class ClassificationListDataset:
+    """Image-classification dataset from a reference-style list file: one
+    "image_path<space>class_id" per line — the input format of the encoder
+    pretraining workflow (SURVEY.md §2 "Pretrained weights": ImageNet-style
+    classification pretraining of the ESPNetv2 encoder)."""
+
+    def __init__(self, root: str, list_file: str,
+                 size_wh: Tuple[int, int] = (224, 224)):
+        self.root = root
+        self.size_wh = size_wh
+        self.pairs: List[Tuple[str, int]] = []
+        path = list_file if os.path.isabs(list_file) else os.path.join(
+            root, list_file)
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                img = parts[0]
+                if not os.path.isabs(img):
+                    img = os.path.join(root, img)
+                self.pairs.append((img, int(parts[1])))
+        self.num_classes = 1 + max(c for _, c in self.pairs)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    @property
+    def shape_hw(self) -> Tuple[int, int]:
+        return (self.size_wh[1], self.size_wh[0])
+
+    def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        img_path, cls = self.pairs[i]
+        return _load_image(img_path, self.size_wh), np.int32(cls)
+
+
 class SyntheticSegmentation:
     """Deterministic procedural scenes for tests/benchmarks: colored
     rectangles + background; labels follow the rectangle layout exactly,

@@ -94,3 +94,40 @@ def test_cli_full_workflow(tmp_path):
         "--out-dir", str(tmp_path / "st_labels")] + size + small)
     assert len(res2["history"]) == 1
     assert os.path.exists(os.path.join(st_ckpt, "model_best.msgpack"))
+
+
+def test_cli_pretrain_and_encoder_transfer(tmp_path):
+    """`pretrain` trains an EESPNet classifier from a list file and `train
+    --pretrained-encoder` initializes the segmentation backbone from it."""
+    from PIL import Image
+
+    root = tmp_path / "cls"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    pal = rng.integers(30, 220, size=(3, 3))
+    lines = []
+    for i in range(12):
+        c = i % 3
+        img = np.clip(np.full((24, 24, 3), pal[c], float)
+                      + rng.normal(0, 10, (24, 24, 3)), 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(root / f"c_{i}.png")
+        lines.append(f"c_{i}.png {c}")
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+
+    ckpt = str(tmp_path / "ckpt_cls")
+    main(["pretrain", "--data-root", str(root), "--train-list", "train.txt",
+          "--size", "24", "24", "--s", "0.5", "--batch-size", "4",
+          "--epochs", "1", "--optimizer", "adam", "--lr", "0.003",
+          "--scheduler", "fixed", "--ckpt-dir", ckpt])
+    assert os.path.exists(os.path.join(ckpt, "model_best.msgpack"))
+
+    seg_root = _make_png_dataset(str(tmp_path / "camvid"), "camvid",
+                                 dataset_info("camvid").num_classes, n=4)
+    res = main(["train", "--dataset", "camvid", "--data-root", seg_root,
+                "--train-list", os.path.join(seg_root, "list.txt"),
+                "--ckpt-dir", str(tmp_path / "ckpt_seg"),
+                "--pretrained-encoder", ckpt,
+                "--size", "32", "24", "--s", "0.5", "--batch-size", "4",
+                "--epochs", "1", "--optimizer", "adam", "--lr", "0.005",
+                "--scheduler", "fixed"])
+    assert np.isfinite(res["history"][-1]["loss"])
