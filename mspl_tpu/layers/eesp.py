@@ -89,10 +89,12 @@ class EESP(nn.Module):
 
         pool_out = None
         # The fused DownSampler-front kernel (mspl_tpu/ops/pallas_downsampler)
-        # stays DISABLED: its whole-image variant exceeds the 16 MB VMEM
-        # scope and the (image, channel)-grid variant measured 269 img/s on
-        # the headline bench vs 1031 for this lax path.  Kept (with parity +
-        # grad tests) as the starting point for an H-tiled halo redesign.
+        # stays DISABLED: whole-image blocks exceed the 16 MB VMEM scope by
+        # 2.7 MB, and both a per-channel grid (269 img/s) and a channel-chunk
+        # grid (252 img/s) run ~4x slower than this lax path (1031 img/s) —
+        # the dilated windowed reads at offsets up to 2*dmax force per-tap
+        # vector realignments in Mosaic.  Kept (with parity + grad tests) as
+        # the starting point for an aligned-halo redesign.
         fused_front = False
         if fused_front and with_pool and self.stride == 2:
             from mspl_tpu.ops.pallas_downsampler import down_front_pallas
