@@ -27,8 +27,8 @@ RECORDED_BASELINE = 438.9  # r1 measurement, lax path, batch 128
 
 BATCH = 128
 HW = (256, 480)  # greenhouse canonical H, W (SURVEY registry: 480x256 WxH)
-WARMUP = 2
-ITERS = 5
+WARMUP = 3
+ITERS = 12  # ~1.5 s of steady state; 5 iters showed ±2% run-to-run noise
 
 
 def main():
