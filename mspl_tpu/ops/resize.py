@@ -51,6 +51,22 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(idx, 0, in_size - 1).astype(np.int32)
 
 
+
+def _mm(eq: str, mat: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Resize einsum in the data dtype with f32 accumulation.
+
+    Low-precision inputs (bf16 models) keep their dtype through the matmul —
+    f32xf32 on the MXU runs at a fraction of bf16 rate — while fp32 inputs
+    (parity tests, label-quality-critical paths) stay exactly fp32."""
+    mat = jnp.asarray(mat)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.einsum(eq, mat, x.astype(jnp.float32)).astype(x.dtype)
+    if x.dtype == jnp.float32:
+        return jnp.einsum(eq, mat, x)
+    return jnp.einsum(eq, mat.astype(x.dtype), x,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def resize_bilinear(
     x: jnp.ndarray,
     size_hw: Tuple[int, int],
@@ -71,16 +87,12 @@ def resize_bilinear(
     h_out, w_out = size_hw
     if (h_in, w_in) == (h_out, w_out):
         return x[0] if squeeze else x
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x
     if h_in != h_out:
-        ah = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
-        xf = jnp.einsum("oh,bhwc->bowc", ah, xf)
+        xf = _mm("oh,bhwc->bowc", _interp_matrix(h_in, h_out, align_corners), xf)
     if w_in != w_out:
-        aw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
-        xf = jnp.einsum("ow,bhwc->bhoc", aw, xf)
-    out = xf.astype(dtype)
-    return out[0] if squeeze else out
+        xf = _mm("ow,bhwc->bhoc", _interp_matrix(w_in, w_out, align_corners), xf)
+    return xf[0] if squeeze else xf
 
 
 def resize_bilinear_to_cm(
@@ -99,17 +111,14 @@ def resize_bilinear_to_cm(
         raise ValueError(f"expected NHWC input, got shape {x.shape}")
     _, h_in, w_in, _ = x.shape
     h_out, w_out = size_hw
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x
     if h_in != h_out:
-        ah = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
-        xf = jnp.einsum("oh,bhwc->bcow", ah, xf)
+        xf = _mm("oh,bhwc->bcow", _interp_matrix(h_in, h_out, align_corners), xf)
     else:
         xf = jnp.transpose(xf, (0, 3, 1, 2))
     if w_in != w_out:
-        aw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
-        xf = jnp.einsum("ow,bchw->bcho", aw, xf)
-    return xf.astype(dtype)
+        xf = _mm("ow,bchw->bcho", _interp_matrix(w_in, w_out, align_corners), xf)
+    return xf
 
 
 def resize_bilinear_cm(
@@ -123,15 +132,12 @@ def resize_bilinear_cm(
         raise ValueError(f"expected BCHW input, got shape {x.shape}")
     _, _, h_in, w_in = x.shape
     h_out, w_out = size_hw
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x
     if h_in != h_out:
-        ah = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
-        xf = jnp.einsum("oh,bchw->bcow", ah, xf)
+        xf = _mm("oh,bchw->bcow", _interp_matrix(h_in, h_out, align_corners), xf)
     if w_in != w_out:
-        aw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
-        xf = jnp.einsum("ow,bchw->bcho", aw, xf)
-    return xf.astype(dtype)
+        xf = _mm("ow,bchw->bcho", _interp_matrix(w_in, w_out, align_corners), xf)
+    return xf
 
 
 @lru_cache(maxsize=None)
@@ -154,13 +160,12 @@ def adaptive_avg_pool(x: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
     h_out, w_out = size_hw
     if (h_in, w_in) == (h_out, w_out):
         return x
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x
     if h_in != h_out:
-        xf = jnp.einsum("oh,bhwc->bowc", jnp.asarray(_adaptive_avg_matrix(h_in, h_out)), xf)
+        xf = _mm("oh,bhwc->bowc", _adaptive_avg_matrix(h_in, h_out), xf)
     if w_in != w_out:
-        xf = jnp.einsum("ow,bhwc->bhoc", jnp.asarray(_adaptive_avg_matrix(w_in, w_out)), xf)
-    return xf.astype(dtype)
+        xf = _mm("ow,bhwc->bhoc", _adaptive_avg_matrix(w_in, w_out), xf)
+    return xf
 
 
 def resize_nearest(x: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
