@@ -223,6 +223,38 @@ def cmd_eval(args) -> Dict:
                        size_wh=tuple(args.size) if args.size else None)
     loader = DataLoader(ds, args.batch_size)
     eval_step = make_eval_step(model, meta["num_classes"])
+
+    save_dir = getattr(args, "save_viz", None)
+    if save_dir:
+        # reference test_segmentation.py-style colorized prediction dumps
+        # (SURVEY.md §3.4 "optional colorized PNG overlay saved")
+        import jax
+        import jax.numpy as jnp
+
+        from mspl_tpu.data.label_io import save_colorized_png
+        from mspl_tpu.data.transforms import normalize
+
+        os.makedirs(save_dir, exist_ok=True)
+
+        @jax.jit
+        def predict(params, batch_stats, imgs):
+            x = normalize(imgs)  # same pipeline as make_eval_step
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=False)
+            return jnp.argmax(logits.astype(jnp.float32), axis=-1)
+
+        for batch in loader:
+            preds = np.asarray(predict(variables["params"],
+                                       variables["batch_stats"],
+                                       batch["image"]))
+            for j, idx in enumerate(np.asarray(batch["index"])):
+                if not bool(batch["valid"][j]):
+                    continue
+                save_colorized_png(
+                    preds[j],
+                    os.path.join(save_dir, f"pred_{int(idx):06d}.png"))
+
     iou, miou = evaluate(eval_step, variables["params"],
                          variables["batch_stats"], loader,
                          meta["num_classes"])
@@ -387,6 +419,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch-size", type=int, default=8)
     e.add_argument("--size", type=int, nargs=2, default=None,
                    metavar=("W", "H"))
+    e.add_argument("--save-viz", default=None, metavar="DIR",
+                   help="also write colorized prediction PNGs to DIR")
     e.set_defaults(fn=cmd_eval)
 
     g = sub.add_parser("pseudo", help="generate pseudo-labels")

@@ -305,6 +305,297 @@ def pyr_pool_fused_eval(
     return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, O]
 
 
+def _shift2(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """shift2(x, dy, dx)[r, c] = x[r - dy, c - dx], zero-filled."""
+    h, w = x.shape
+    if dy:
+        zr = jnp.zeros((abs(dy), w), x.dtype)
+        x = (jnp.concatenate([zr, x[:h - dy]], axis=0) if dy > 0
+             else jnp.concatenate([x[-dy:], zr], axis=0))
+    if dx:
+        zc = jnp.zeros((h, abs(dx)), x.dtype)
+        x = (jnp.concatenate([zc, x[:, :w - dx]], axis=1) if dx > 0
+             else jnp.concatenate([x[:, -dx:], zc], axis=1))
+    return x
+
+
+def _dw3x3_rows(z: jnp.ndarray, texp: jnp.ndarray) -> jnp.ndarray:
+    """3x3 depthwise on channel-STACKED planes [R, w] with per-row taps.
+
+    texp: [R, 9] f32, row r holds the 3x3 taps of the plane that row belongs
+    to (zero on gap rows).  out[r, c] = sum_ij texp[r, iy*3+ix] *
+    z[r+iy-1, c+ix-1] — i.e. each tap is ONE whole-array shift-multiply-add
+    covering every channel at once, instead of one per (channel, tap).  The
+    x-shift is hoisted outside the iy sum: 9 sublane shifts + 2 lane shifts
+    per call (lane realignments are the expensive ones on this stack)."""
+    acc = None
+    for ix in (-1, 0, 1):
+        inner = None
+        for iy in (-1, 0, 1):
+            t = texp[:, (iy + 1) * 3 + (ix + 1):(iy + 1) * 3 + (ix + 1) + 1]
+            s = _shift2(z, -iy, 0)
+            term = s * t.astype(z.dtype)
+            inner = term if inner is None else inner + term
+        if ix:
+            inner = _shift2(inner, 0, -ix)
+        acc = inner if acc is None else acc + inner
+    return acc
+
+
+_GAP = 8  # zero sublane rows between stacked planes (conv isolation + align)
+
+
+def _stack_planes(planes, w):
+    """Concat [h_i, w] planes with _GAP zero rows after each -> [R, w]."""
+    z = jnp.zeros((_GAP, w), planes[0].dtype)
+    parts = []
+    for p_ in planes:
+        parts += [p_, z]
+    return jnp.concatenate(parts, axis=0)
+
+
+def _expand_rows(vals: jnp.ndarray, h: int) -> jnp.ndarray:
+    """[C, K] per-channel rows -> [C*(h+_GAP), K] stacked-row layout (traced;
+    pre-expands taps/affines outside the kernel; gap rows zero)."""
+    c, k = vals.shape
+    body = jnp.broadcast_to(vals[:, None, :], (c, h, k))
+    body = jnp.pad(body, ((0, 0), (0, _GAP), (0, 0)))
+    return body.reshape(c * (h + _GAP), k)
+
+
+def _fused_kernel_v2(scales, sizes, aligned, h, w, p, o, gsz,
+                     x_ref, wk_ref, clsw_ref, tail_ref, aff2e_ref,
+                     *rest):
+    """Channel-group-stacked fused EfficientPyrPool eval kernel, grid
+    (B, P/gsz).
+
+    The (B, P) predecessor (_fused_kernel) issued every depthwise tap as a
+    separate tiny shift-multiply on one [h, w] plane; measured cost was
+    dominated by per-instruction shift overhead (branch dw 7.6 ms + merge dw
+    5.2 ms of 15.7 ms at the bench shape).  Here `gsz` channel planes are
+    stacked into one [gsz*(h+8), w] array (8 zero gap rows isolate the 3x3
+    halo between channels), so each tap is ONE whole-array op covering the
+    group.  A full-P stack (grid (B,)) amortizes better but its live set
+    blew the 16 MB scoped-VMEM limit at 26.6 MB; gsz~3 fits.  Resize dots
+    stay per-channel (measured fine: ~2.2 ms) and keep the v1 op order, so
+    per-plane dot numerics are unchanged.
+
+    rest layout: per scale si (s != 1.0): down_h, down_wT, up_h, up_wT
+    (compute-dtype); then per scale si (all): taps_exp [gsz*R_si, 9],
+    aff1_exp [gsz*RH, 3], mw_exp [gsz*RH, 9] group blocks; then out_ref and
+    the classifier accumulator scratch acc_ref (f32 [O, h, w], persists
+    across the group steps of one image).
+    """
+    out_ref = rest[-2]
+    acc_ref = rest[-1]
+    mats = {}
+    mi = 0
+    for si, s in enumerate(scales):
+        if s != 1.0:
+            mats[si] = tuple(rest[mi + j] for j in range(4))
+            mi += 4
+    per_scale = rest[mi:-2]
+    taps_exp = per_scale[0::3]
+    aff1_exp = per_scale[1::3]
+    mw_exp = per_scale[2::3]
+
+    g = pl.program_id(1)
+    n_groups = pl.num_programs(1)
+    cdt = x_ref.dtype
+    wk_all = wk_ref[:][0].astype(jnp.float32)   # [gsz, S*9] (fallback)
+    clsw = clsw_ref[:][0].astype(jnp.float32)   # [gsz, O]
+    aff2e = aff2e_ref[:].astype(jnp.float32)    # [gsz*gh, 3]
+
+    def dot(a, b):
+        return jax.lax.dot(a.astype(cdt), b.astype(cdt),
+                           preferred_element_type=jnp.float32).astype(cdt)
+
+    planes = [x_ref[0, c, :, :] for c in range(gsz)]
+    gh = h + _GAP
+
+    merged = None
+    for si, s in enumerate(scales):
+        hs, ws = sizes[si]
+        if s == 1.0:
+            vs = _stack_planes(planes, w)
+            vs = _dw3x3_rows(vs, taps_exp[si][:])
+        elif aligned[si]:
+            down_h, down_wT, up_h, up_wT = mats[si]
+            dh = down_h[:]
+            uh = up_h[:]
+            g_s = hs + _GAP
+            ys = _stack_planes([dot(dh, pl_) for pl_ in planes], w)
+            ys = dot(ys, down_wT[:])               # [gsz*(hs+GAP), ws]
+            ys = _dw3x3_rows(ys, taps_exp[si][:])
+            ups = [dot(uh, ys[j * g_s:j * g_s + hs, :])
+                   for j in range(gsz)]
+            vs = _stack_planes(ups, ws)
+            vs = dot(vs, up_wT[:])                 # [gsz*(h+GAP), w]
+        else:
+            # per-channel fallback (odd branch sizes, e.g. the 0.1 scale)
+            down_h, down_wT, up_h, up_wT = mats[si]
+            outs = []
+            for c in range(gsz):
+                y = planes[c]
+                y = dot(down_h[:], y)
+                y = dot(y, down_wT[:])
+                y = _dw3x3_same(y, wk_all[c, si * 9:si * 9 + 9])
+                y = dot(up_h[:], y)
+                y = dot(y, up_wT[:])
+                outs.append(y)
+            vs = _stack_planes(outs, w)
+        a1 = aff1_exp[si][:].astype(jnp.float32)   # [gsz*gh, 3]
+        vf = vs.astype(jnp.float32)
+        vf = vf * a1[:, 0:1] + a1[:, 1:2]
+        vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
+        t = _dw3x3_rows(vf.astype(cdt), mw_exp[si][:]).astype(jnp.float32)
+        merged = t if merged is None else merged + t
+
+    merged = merged * aff2e[:, 0:1] + aff2e[:, 1:2]
+    merged = (jnp.maximum(merged, 0.0)
+              + aff2e[:, 2:3] * jnp.minimum(merged, 0.0))
+
+    mslices = [merged[c * gh:c * gh + h, :] for c in range(gsz)]
+
+    @pl.when(g == 0)
+    def _init():
+        for oc in range(o):
+            acc = None
+            for c in range(gsz):
+                term = mslices[c] * clsw[c, oc]
+                acc = term if acc is None else acc + term
+            acc_ref[oc] = acc
+
+    @pl.when(g > 0)
+    def _accum():
+        for oc in range(o):
+            acc = None
+            for c in range(gsz):
+                term = mslices[c] * clsw[c, oc]
+                acc = term if acc is None else acc + term
+            acc_ref[oc] += acc
+
+    @pl.when(g == n_groups - 1)
+    def _flush():
+        tail = tail_ref[:].astype(jnp.float32)     # [4, O]
+        for oc in range(o):
+            y = acc_ref[oc] + tail[0, oc]
+            y = _prelu(y * tail[1, oc] + tail[2, oc], tail[3, oc])
+            out_ref[0, oc] = y.astype(out_ref.dtype)
+
+
+def pyr_pool_fused_eval_v2(
+    x: jnp.ndarray,
+    dw_weights: jnp.ndarray,
+    aff1: jnp.ndarray,
+    merge_weights: jnp.ndarray,
+    aff2: jnp.ndarray,
+    cls_w: jnp.ndarray,
+    cls_b: jnp.ndarray,
+    aff3: jnp.ndarray,
+    scales: Sequence[float],
+    interpret: bool = False,
+    channel_major_out: bool = False,
+) -> jnp.ndarray:
+    """Channel-group-stacked variant of pyr_pool_fused_eval (same contract).
+
+    Requires H % 8 == 0 (stacked-plane sublane alignment) and a channel
+    group size dividing P; branch scales whose intermediate height is not
+    8-aligned fall back to the per-channel path inside the kernel, so any
+    scale set works."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, h, w, p = x.shape
+    # largest group size <=4 dividing P: bounds the stacked working set
+    # (a full-P stack exceeded the 16 MB scoped-VMEM limit at 26.6 MB)
+    gsz = next((d for d in (4, 3, 2) if p % d == 0), 1)
+    if h % 8 != 0 or gsz == 1:
+        return pyr_pool_fused_eval(
+            x, dw_weights, aff1, merge_weights, aff2, cls_w, cls_b, aff3,
+            scales, interpret=interpret, channel_major_out=channel_major_out)
+    s_n = len(scales)
+    o = cls_w.shape[1]
+    sizes = _branch_sizes(h, w, scales)
+    aligned = tuple(
+        (s == 1.0) or (sizes[si][0] % 8 == 0)
+        for si, s in enumerate(scales)
+    )
+
+    # interpolation operators in the compute dtype: the kernel's dots cast
+    # them to x.dtype anyway, so pre-casting is numerically identical and
+    # halves their VMEM footprint on the bf16 path
+    mdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    mats = []
+    for si, s in enumerate(scales):
+        hs, ws = sizes[si]
+        if s == 1.0:
+            continue
+        if s < 1.0:
+            dh = _adaptive_avg_matrix(h, hs)
+            dw_ = _adaptive_avg_matrix(w, ws)
+        else:
+            dh = _interp_matrix(h, hs, True)
+            dw_ = _interp_matrix(w, ws, True)
+        uh = _interp_matrix(hs, h, True)
+        uw = _interp_matrix(ws, w, True)
+        mats += [jnp.asarray(dh, mdt), jnp.asarray(dw_.T, mdt),
+                 jnp.asarray(uh, mdt), jnp.asarray(uw.T, mdt)]
+    taps = dw_weights.astype(jnp.float32).reshape(s_n, 9, p)  # [S, 9, P]
+    taps_exp = []
+    for si, s in enumerate(scales):
+        hs = h if (s == 1.0 or not aligned[si]) else sizes[si][0]
+        taps_exp.append(_expand_rows(taps[si].T, hs))  # [P*(hs+GAP), 9]
+    aff1_r = aff1.astype(jnp.float32).reshape(3, s_n, p)
+    aff1_exp = [_expand_rows(aff1_r[:, si, :].T, h) for si in range(s_n)]
+    mw_r = merge_weights.astype(jnp.float32).reshape(9, s_n, p)
+    mw_exp = [_expand_rows(mw_r[:, si, :].T, h) for si in range(s_n)]
+    aff2_exp = _expand_rows(aff2.astype(jnp.float32).T, h)
+    # group-blocked param packs (rank-3 so group blocks cover the minor dims)
+    wk = jnp.transpose(taps, (2, 0, 1)).reshape(p // gsz, gsz, s_n * 9)
+    clsw_g = cls_w.astype(jnp.float32).reshape(p // gsz, gsz, o)
+    tail = jnp.concatenate([cls_b[None, :], aff3], axis=0)
+
+    kernel_mats = mats  # kernel consumes 4 per scale (s != 1.0), scale order
+    per_scale_in = []
+    per_scale_specs = []
+    gh = h + _GAP
+    for si, s in enumerate(scales):
+        hs = h if (s == 1.0 or not aligned[si]) else sizes[si][0]
+        g_s = hs + _GAP
+        per_scale_in += [taps_exp[si], aff1_exp[si], mw_exp[si]]
+        per_scale_specs += [
+            pl.BlockSpec((gsz * g_s, 9), lambda i, g: (g, 0)),
+            pl.BlockSpec((gsz * gh, 3), lambda i, g: (g, 0)),
+            pl.BlockSpec((gsz * gh, 9), lambda i, g: (g, 0)),
+        ]
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    xp = jnp.transpose(x, (0, 3, 1, 2))  # [B, P, H, W]
+    full = lambda shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
+    out = pl.pallas_call(
+        partial(_fused_kernel_v2, tuple(scales), sizes, aligned, h, w, p, o,
+                gsz),
+        grid=(b, p // gsz),
+        in_specs=[
+            pl.BlockSpec((1, gsz, h, w), lambda i, g: (i, g, 0, 0)),
+            pl.BlockSpec((1, gsz, s_n * 9), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((1, gsz, o), lambda i, g: (g, 0, 0)),
+            full(tail.shape),
+            pl.BlockSpec((gsz * gh, 3), lambda i, g: (g, 0)),
+            *[full(m.shape) for m in kernel_mats],
+            *per_scale_specs,
+        ],
+        out_specs=pl.BlockSpec((1, o, h, w), lambda i, g: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, o, h, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((o, h, w), jnp.float32)],
+        interpret=interpret,
+    )(xp, wk, clsw_g, tail, aff2_exp,
+      *kernel_mats, *per_scale_in)
+    if channel_major_out:
+        return out
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 def _pyr_branches_impl(
     x: jnp.ndarray,
     weights: jnp.ndarray,

@@ -56,10 +56,13 @@ def test_cli_full_workflow(tmp_path):
         assert os.path.exists(os.path.join(ckpt, "model_best.msgpack"))
         ckpts.append(ckpt)
 
+        viz_dir = str(tmp_path / f"eval_viz_{ds_name}")
         res = main(["eval", "--checkpoint", ckpt, "--data-root", root,
                     "--val-list", os.path.join(root, "list.txt"),
-                    "--batch-size", "4"] + size)
+                    "--batch-size", "4", "--save-viz", viz_dir] + size)
         assert 0.0 <= res["miou"] <= 1.0
+        assert len([f for f in os.listdir(viz_dir)
+                    if f.startswith("pred_")]) == 6
 
     # greenhouse target (unlabeled) + labeled val
     gh_root = _make_png_dataset(str(tmp_path / "greenhouse"), "greenhouse", 3)

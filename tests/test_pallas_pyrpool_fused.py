@@ -26,6 +26,32 @@ def _randomize_stats(v, rng):
     return {"params": v["params"], "batch_stats": walk(v["batch_stats"])}
 
 
+def test_fused_eval_v2_matches_v1():
+    """Channel-stacked v2 kernel == per-channel v1 kernel (both interpret on
+    CPU), including the odd-size 0.1-scale per-channel fallback branch and
+    the H % 8 != 0 whole-kernel fallback."""
+    from mspl_tpu.ops.pallas_pyrpool import (pyr_pool_fused_eval,
+                                             pyr_pool_fused_eval_v2)
+
+    rng = np.random.RandomState(1)
+    scales = (2.0, 1.5, 1.0, 0.5, 0.1)
+    p, o = 3, 5
+    for h, w in ((16, 24), (12, 20)):
+        x = jnp.asarray(rng.randn(2, h, w, p), jnp.float32)
+        dw_w = jnp.asarray(rng.randn(5, 3, 3, p) * 0.3, jnp.float32)
+        aff1 = jnp.asarray(rng.randn(3, 5 * p) * 0.2 + 0.6, jnp.float32)
+        mw = jnp.asarray(rng.randn(3, 3, 5, p) * 0.3, jnp.float32)
+        aff2 = jnp.asarray(rng.randn(3, p) * 0.2 + 0.6, jnp.float32)
+        cls_w = jnp.asarray(rng.randn(p, o) * 0.3, jnp.float32)
+        cls_b = jnp.asarray(rng.randn(o) * 0.1, jnp.float32)
+        aff3 = jnp.stack([jnp.ones((o,)), jnp.zeros((o,)), jnp.ones((o,))])
+        args = (x, dw_w, aff1, mw, aff2, cls_w, cls_b, aff3, scales)
+        want = pyr_pool_fused_eval(*args, interpret=True)
+        got = pyr_pool_fused_eval_v2(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("last_br", [True, False])
 def test_fused_eval_matches_jnp(last_br):
     rng = np.random.RandomState(0)
