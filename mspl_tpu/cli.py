@@ -66,6 +66,23 @@ def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
     return model, variables, meta
 
 
+def _print_model_card(model, variables, shape_hw) -> None:
+    """Build-time model card (the reference prints FLOPs/params at model
+    build — SURVEY.md §5 'Tracing / profiling')."""
+    import jax.numpy as jnp
+
+    from mspl_tpu.utils.profiling import estimate_flops, model_parameters
+
+    n_params = model_parameters(variables["params"])
+    flops = estimate_flops(
+        lambda v, x: model.apply(v, x, train=False),
+        variables, jnp.zeros((1, *shape_hw, 3), jnp.float32))
+    msg = f"model: {n_params / 1e6:.3f} M params"
+    if flops:
+        msg += f", {flops / 1e9:.3f} GFLOPs @ {shape_hw[1]}x{shape_hw[0]}"
+    print_info_message(msg)
+
+
 def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="espnetv2", choices=MODEL_NAMES)
     p.add_argument("--s", type=float, default=2.0, help="ESPNetv2 width scaler")
@@ -115,6 +132,7 @@ def cmd_train(args) -> Dict:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     variables = init_model(model, train_ds.shape_hw)
+    _print_model_card(model, variables, train_ds.shape_hw)
 
     if getattr(args, "pretrained_encoder", None):
         from mspl_tpu.engine.train_cls import load_pretrained_encoder
