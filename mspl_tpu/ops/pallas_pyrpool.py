@@ -354,17 +354,26 @@ def _stack_planes(planes, w):
     return jnp.concatenate(parts, axis=0)
 
 
-def _expand_rows(vals: jnp.ndarray, h: int) -> jnp.ndarray:
-    """[C, K] per-channel rows -> [C*(h+_GAP), K] stacked-row layout (traced;
-    pre-expands taps/affines outside the kernel; gap rows zero)."""
+def _expand_rows(vals: jnp.ndarray, h: int, slot: int = None) -> jnp.ndarray:
+    """[C, K] per-channel rows -> [C*slot, K] stacked-row layout (traced;
+    pre-expands taps/affines outside the kernel; the slot's pad rows zero).
+    slot defaults to h + _GAP."""
     c, k = vals.shape
+    slot = h + _GAP if slot is None else slot
     body = jnp.broadcast_to(vals[:, None, :], (c, h, k))
-    body = jnp.pad(body, ((0, 0), (0, _GAP), (0, 0)))
-    return body.reshape(c * (h + _GAP), k)
+    body = jnp.pad(body, ((0, 0), (0, slot - h), (0, 0)))
+    return body.reshape(c * slot, k)
 
 
-def _fused_kernel_v2(scales, sizes, aligned, h, w, p, o, gsz,
-                     x_ref, wk_ref, clsw_ref, tail_ref, aff2e_ref,
+def _slot(hs: int) -> int:
+    """Stacked-plane slot height: hs rounded up to a multiple of 8 with at
+    least one zero pad row (the 3x3 conv halo between stacked planes)."""
+    pad = 8 - hs % 8 if hs % 8 else _GAP
+    return hs + pad
+
+
+def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
+                     x_ref, clsw_ref, tail_ref, aff2e_ref,
                      *rest):
     """Channel-group-stacked fused EfficientPyrPool eval kernel, grid
     (B, P/gsz).
@@ -373,18 +382,23 @@ def _fused_kernel_v2(scales, sizes, aligned, h, w, p, o, gsz,
     separate tiny shift-multiply on one [h, w] plane; measured cost was
     dominated by per-instruction shift overhead (branch dw 7.6 ms + merge dw
     5.2 ms of 15.7 ms at the bench shape).  Here `gsz` channel planes are
-    stacked into one [gsz*(h+8), w] array (8 zero gap rows isolate the 3x3
-    halo between channels), so each tap is ONE whole-array op covering the
-    group.  A full-P stack (grid (B,)) amortizes better but its live set
-    blew the 16 MB scoped-VMEM limit at 26.6 MB; gsz~3 fits.  Resize dots
-    stay per-channel (measured fine: ~2.2 ms) and keep the v1 op order, so
-    per-plane dot numerics are unchanged.
+    stacked into one [gsz*slot, w] array, so each tap is ONE whole-array op
+    covering the group.  `slot` is the branch height rounded up to a
+    multiple of 8 with >=1 zero row; the zero pad (built into the padded
+    down/up interpolation matrices, zero taps on pad rows) both isolates
+    the 3x3 halo between planes and keeps every slice sublane-aligned, so
+    odd branch heights (the 0.1 scale's 13 rows) batch like any other —
+    no per-channel fallback.  A full-P stack (grid (B,)) amortizes better
+    but its live set blew the 16 MB scoped-VMEM limit at 26.6 MB; gsz~3-4
+    fits.  Resize dots stay per-channel (measured fine: ~2.2 ms) and keep
+    the v1 op order, so per-plane dot numerics are unchanged.
 
-    rest layout: per scale si (s != 1.0): down_h, down_wT, up_h, up_wT
-    (compute-dtype); then per scale si (all): taps_exp [gsz*R_si, 9],
-    aff1_exp [gsz*RH, 3], mw_exp [gsz*RH, 9] group blocks; then out_ref and
-    the classifier accumulator scratch acc_ref (f32 [O, h, w], persists
-    across the group steps of one image).
+    rest layout: per scale si (s != 1.0): down_h [slot_si, H] (pad rows
+    zero), down_wT, up_h [H, slot_si] (pad cols zero), up_wT — all in the
+    compute dtype; then per scale si (all): taps_exp [gsz*slot_si, 9],
+    aff1_exp [gsz*gh, 3], mw_exp [gsz*gh, 9] group blocks; then out_ref
+    and the classifier accumulator scratch acc_ref (f32 [O, h, w],
+    persists across the group steps of one image).
     """
     out_ref = rest[-2]
     acc_ref = rest[-1]
@@ -402,7 +416,6 @@ def _fused_kernel_v2(scales, sizes, aligned, h, w, p, o, gsz,
     g = pl.program_id(1)
     n_groups = pl.num_programs(1)
     cdt = x_ref.dtype
-    wk_all = wk_ref[:][0].astype(jnp.float32)   # [gsz, S*9] (fallback)
     clsw = clsw_ref[:][0].astype(jnp.float32)   # [gsz, O]
     aff2e = aff2e_ref[:].astype(jnp.float32)    # [gsz*gh, 3]
 
@@ -419,31 +432,18 @@ def _fused_kernel_v2(scales, sizes, aligned, h, w, p, o, gsz,
         if s == 1.0:
             vs = _stack_planes(planes, w)
             vs = _dw3x3_rows(vs, taps_exp[si][:])
-        elif aligned[si]:
+        else:
             down_h, down_wT, up_h, up_wT = mats[si]
-            dh = down_h[:]
-            uh = up_h[:]
-            g_s = hs + _GAP
-            ys = _stack_planes([dot(dh, pl_) for pl_ in planes], w)
-            ys = dot(ys, down_wT[:])               # [gsz*(hs+GAP), ws]
+            dh = down_h[:]                          # [slot, H], pad rows 0
+            uh = up_h[:]                            # [H, slot], pad cols 0
+            slot = slots[si]
+            ys = jnp.concatenate([dot(dh, pl_) for pl_ in planes], axis=0)
+            ys = dot(ys, down_wT[:])                # [gsz*slot, ws]
             ys = _dw3x3_rows(ys, taps_exp[si][:])
-            ups = [dot(uh, ys[j * g_s:j * g_s + hs, :])
+            ups = [dot(uh, ys[j * slot:(j + 1) * slot, :])
                    for j in range(gsz)]
             vs = _stack_planes(ups, ws)
-            vs = dot(vs, up_wT[:])                 # [gsz*(h+GAP), w]
-        else:
-            # per-channel fallback (odd branch sizes, e.g. the 0.1 scale)
-            down_h, down_wT, up_h, up_wT = mats[si]
-            outs = []
-            for c in range(gsz):
-                y = planes[c]
-                y = dot(down_h[:], y)
-                y = dot(y, down_wT[:])
-                y = _dw3x3_same(y, wk_all[c, si * 9:si * 9 + 9])
-                y = dot(up_h[:], y)
-                y = dot(y, up_wT[:])
-                outs.append(y)
-            vs = _stack_planes(outs, w)
+            vs = dot(vs, up_wT[:])                  # [gsz*gh, w]
         a1 = aff1_exp[si][:].astype(jnp.float32)   # [gsz*gh, 3]
         vf = vs.astype(jnp.float32)
         vf = vf * a1[:, 0:1] + a1[:, 1:2]
@@ -500,9 +500,8 @@ def pyr_pool_fused_eval_v2(
     """Channel-group-stacked variant of pyr_pool_fused_eval (same contract).
 
     Requires H % 8 == 0 (stacked-plane sublane alignment) and a channel
-    group size dividing P; branch scales whose intermediate height is not
-    8-aligned fall back to the per-channel path inside the kernel, so any
-    scale set works."""
+    group size dividing P; odd branch heights are handled by zero-padded
+    slot matrices (see _fused_kernel_v2), so any scale set works."""
     interpret = interpret or jax.default_backend() == "cpu"
     b, h, w, p = x.shape
     # largest group size <=4 dividing P: bounds the stacked working set
@@ -515,14 +514,16 @@ def pyr_pool_fused_eval_v2(
     s_n = len(scales)
     o = cls_w.shape[1]
     sizes = _branch_sizes(h, w, scales)
-    aligned = tuple(
-        (s == 1.0) or (sizes[si][0] % 8 == 0)
+    slots = tuple(
+        h + _GAP if s == 1.0 else _slot(sizes[si][0])
         for si, s in enumerate(scales)
     )
 
     # interpolation operators in the compute dtype: the kernel's dots cast
     # them to x.dtype anyway, so pre-casting is numerically identical and
-    # halves their VMEM footprint on the bf16 path
+    # halves their VMEM footprint on the bf16 path.  down_h gets zero pad
+    # ROWS and up_h zero pad COLS out to the slot height, which makes the
+    # stacked branch planes 8-aligned with a built-in conv-halo gap.
     mdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     mats = []
     for si, s in enumerate(scales):
@@ -537,20 +538,23 @@ def pyr_pool_fused_eval_v2(
             dw_ = _interp_matrix(w, ws, True)
         uh = _interp_matrix(hs, h, True)
         uw = _interp_matrix(ws, w, True)
+        pad = slots[si] - hs
+        dh = np.pad(dh, ((0, pad), (0, 0)))     # [slot, H]
+        uh = np.pad(uh, ((0, 0), (0, pad)))     # [H, slot]
         mats += [jnp.asarray(dh, mdt), jnp.asarray(dw_.T, mdt),
                  jnp.asarray(uh, mdt), jnp.asarray(uw.T, mdt)]
     taps = dw_weights.astype(jnp.float32).reshape(s_n, 9, p)  # [S, 9, P]
     taps_exp = []
     for si, s in enumerate(scales):
-        hs = h if (s == 1.0 or not aligned[si]) else sizes[si][0]
-        taps_exp.append(_expand_rows(taps[si].T, hs))  # [P*(hs+GAP), 9]
+        hs = h if s == 1.0 else sizes[si][0]
+        taps_exp.append(
+            _expand_rows(taps[si].T, hs, slots[si]))  # [P*slot, 9]
     aff1_r = aff1.astype(jnp.float32).reshape(3, s_n, p)
     aff1_exp = [_expand_rows(aff1_r[:, si, :].T, h) for si in range(s_n)]
     mw_r = merge_weights.astype(jnp.float32).reshape(9, s_n, p)
     mw_exp = [_expand_rows(mw_r[:, si, :].T, h) for si in range(s_n)]
     aff2_exp = _expand_rows(aff2.astype(jnp.float32).T, h)
     # group-blocked param packs (rank-3 so group blocks cover the minor dims)
-    wk = jnp.transpose(taps, (2, 0, 1)).reshape(p // gsz, gsz, s_n * 9)
     clsw_g = cls_w.astype(jnp.float32).reshape(p // gsz, gsz, o)
     tail = jnp.concatenate([cls_b[None, :], aff3], axis=0)
 
@@ -558,12 +562,10 @@ def pyr_pool_fused_eval_v2(
     per_scale_in = []
     per_scale_specs = []
     gh = h + _GAP
-    for si, s in enumerate(scales):
-        hs = h if (s == 1.0 or not aligned[si]) else sizes[si][0]
-        g_s = hs + _GAP
+    for si in range(s_n):
         per_scale_in += [taps_exp[si], aff1_exp[si], mw_exp[si]]
         per_scale_specs += [
-            pl.BlockSpec((gsz * g_s, 9), lambda i, g: (g, 0)),
+            pl.BlockSpec((gsz * slots[si], 9), lambda i, g: (g, 0)),
             pl.BlockSpec((gsz * gh, 3), lambda i, g: (g, 0)),
             pl.BlockSpec((gsz * gh, 9), lambda i, g: (g, 0)),
         ]
@@ -573,12 +575,11 @@ def pyr_pool_fused_eval_v2(
     xp = jnp.transpose(x, (0, 3, 1, 2))  # [B, P, H, W]
     full = lambda shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
     out = pl.pallas_call(
-        partial(_fused_kernel_v2, tuple(scales), sizes, aligned, h, w, p, o,
+        partial(_fused_kernel_v2, tuple(scales), sizes, slots, h, w, p, o,
                 gsz),
         grid=(b, p // gsz),
         in_specs=[
             pl.BlockSpec((1, gsz, h, w), lambda i, g: (i, g, 0, 0)),
-            pl.BlockSpec((1, gsz, s_n * 9), lambda i, g: (g, 0, 0)),
             pl.BlockSpec((1, gsz, o), lambda i, g: (g, 0, 0)),
             full(tail.shape),
             pl.BlockSpec((gsz * gh, 3), lambda i, g: (g, 0)),
@@ -589,7 +590,7 @@ def pyr_pool_fused_eval_v2(
         out_shape=jax.ShapeDtypeStruct((b, o, h, w), x.dtype),
         scratch_shapes=[pltpu.VMEM((o, h, w), jnp.float32)],
         interpret=interpret,
-    )(xp, wk, clsw_g, tail, aff2_exp,
+    )(xp, clsw_g, tail, aff2_exp,
       *kernel_mats, *per_scale_in)
     if channel_major_out:
         return out

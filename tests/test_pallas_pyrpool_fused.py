@@ -27,16 +27,17 @@ def _randomize_stats(v, rng):
 
 
 def test_fused_eval_v2_matches_v1():
-    """Channel-stacked v2 kernel == per-channel v1 kernel (both interpret on
-    CPU), including the odd-size 0.1-scale per-channel fallback branch and
-    the H % 8 != 0 whole-kernel fallback."""
+    """Channel-group-stacked v2 kernel == per-channel v1 kernel (both
+    interpret on CPU), covering odd branch heights handled by zero-padded
+    slot matrices (the 0.1 scale), multi-group classifier accumulation
+    (p=6 -> 2 groups of 3), and the H % 8 != 0 whole-kernel fallback."""
     from mspl_tpu.ops.pallas_pyrpool import (pyr_pool_fused_eval,
                                              pyr_pool_fused_eval_v2)
 
     rng = np.random.RandomState(1)
     scales = (2.0, 1.5, 1.0, 0.5, 0.1)
-    p, o = 3, 5
-    for h, w in ((16, 24), (12, 20)):
+    o = 5
+    for p, (h, w) in ((3, (16, 24)), (6, (16, 24)), (3, (12, 20))):
         x = jnp.asarray(rng.randn(2, h, w, p), jnp.float32)
         dw_w = jnp.asarray(rng.randn(5, 3, 3, p) * 0.3, jnp.float32)
         aff1 = jnp.asarray(rng.randn(3, 5 * p) * 0.2 + 0.6, jnp.float32)
