@@ -69,6 +69,15 @@ class EESPNet(nn.Module):
     drop_rate: float = 0.2
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # EXPERIMENTAL (measured slower, default off): fuse each stride-1 EESP
+    # stage into chained whole-stage Pallas kernels at eval
+    # (ops/pallas_eesp_stage.py).  Measured on v5e (batch 128, bf16,
+    # 256x480 input): stage3 9.8 ms vs 7.2 ms lax, stage4 8.1 vs 6.9, whole
+    # fwd 45.1 vs 40.0 — the per-image grid runs the (block-diagonal-
+    # densified, 4x-FLOP) 1x1 dots at low M-efficiency and the 64-lane
+    # stage3 branch arrays at half VPU width; image-batched blocks (bb=2)
+    # blow the 16 MB scoped-VMEM limit at 35.6 MB.  None = off.
+    fuse_stages: bool | None = None
 
     def setup(self):
         cfg = eespnet_channel_plan(self.s)
@@ -102,6 +111,30 @@ class EESPNet(nn.Module):
         self.dropout = nn.Dropout(rate=self.drop_rate)
         self.classifier = nn.Dense(self.num_classes)
 
+    def _run_stage(self, x, blocks, prefix, k, r_lim, train):
+        """Run a stride-1 EESP repeat stage: experimental fused whole-stage
+        kernel when `fuse_stages` is set, per-unit lax path otherwise (both
+        share the param tree)."""
+        fuse = bool(self.fuse_stages)
+        if blocks and fuse and not train and not self.is_initializing():
+            from mspl_tpu.layers.eesp import branch_dilations
+            from mspl_tpu.ops.pallas_eesp_stage import (
+                eesp_block_params,
+                eesp_stage_fused_eval,
+            )
+
+            v = self.variables
+            params = [
+                eesp_block_params(v["params"][f"{prefix}_{i}"],
+                                  v["batch_stats"][f"{prefix}_{i}"], k)
+                for i in range(len(blocks))
+            ]
+            return eesp_stage_fused_eval(x, params,
+                                         branch_dilations(k, r_lim))
+        for blk in blocks:
+            x = blk(x, train=train)
+        return x
+
     def encode(
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -110,11 +143,11 @@ class EESPNet(nn.Module):
         l1 = self.level1(img, train=train)
         l2 = self.level2_0(l1, img, train=train)
         l3 = self.level3_0(l2, img, train=train)
-        for blk in self.level3_blocks:
-            l3 = blk(l3, train=train)
+        l3 = self._run_stage(l3, self.level3_blocks, "level3_blocks",
+                             _STAGE_K[2], _STAGE_RLIM[2], train)
         l4 = self.level4_0(l3, img, train=train)
-        for blk in self.level4_blocks:
-            l4 = blk(l4, train=train)
+        l4 = self._run_stage(l4, self.level4_blocks, "level4_blocks",
+                             _STAGE_K[3], _STAGE_RLIM[3], train)
         return l1, l2, l3, l4
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

@@ -1,0 +1,301 @@
+"""Pallas TPU kernel: whole EESP *stage* fused, eval mode.
+
+The encoder's EESP stages (SURVEY.md §2 "EESP unit"; 3 units at 1/8, 7 at
+1/16 for s=2.0) dominate encoder HBM traffic under XLA: every unit is ~7
+tensor-sized round trips (proj write/read, K branch outputs, concat, BR,
+expand, residual) on 63-126 MB activations.  This kernel runs a CHAIN of
+EESP units over one image entirely in VMEM: read the stage input once,
+write the stage output once.
+
+Layout: pixels-as-rows, channels-as-lanes.  The input [B, H, W, C] is
+zero-padded to Wp = ceil(W/8)*8 columns and viewed as [B, H*Wp, C] (both
+free/cheap in XLA: the pad fuses, the reshape is a bitcast).  In this flat
+form a depthwise dilated 3x3 becomes 9 sublane SHIFTS:
+
+  h-shift by dy*d  ->  row shift by dy*d*Wp  (ALIGNED: Wp % 8 == 0)
+  w-shift by dx*d  ->  row shift by dx*d     (unaligned, 2 per branch with
+                                              the x-hoisted tap order)
+
+and the pad columns double as the w-direction zero halo whenever
+d <= Wp - W (true for every ESPNetv2 stage at the bench shapes); larger
+dilations get static edge masks.  Channels never shift — depthwise taps are
+lane-vector multiplies; the grouped 1x1 convs are single [H*Wp, C] x [C, n]
+MXU dots with block-diagonal-densified kernels (the same trick as
+ops/grouped_conv.py, same numerics).
+
+Eval-only: BatchNorms fold to per-channel affines from running statistics
+(training keeps the lax path, exactly like the fused pyramid-pool tail in
+ops/pallas_pyrpool.py).  Unit math matches mspl_tpu/layers/eesp.py::EESP
+op-for-op: proj CBR -> K dilated depthwise + HFF -> BR -> grouped CB expand
+-> residual add -> PReLU.
+
+VMEM: chains are capped at `max_blocks` units per pallas_call (expand
+weights are C x C; seven 512-wide units' params plus double buffering would
+crowd the 16 MB scoped limit), so the 7-unit stage runs as 4 + 3.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _shift_rows(x: jnp.ndarray, dy: int) -> jnp.ndarray:
+    """shift_rows(x, dy)[r] = x[r - dy], zero-filled (2-D [R, C])."""
+    if dy == 0:
+        return x
+    r = x.shape[0]
+    if abs(dy) >= r:  # tiny feature maps: the window is entirely padding
+        return jnp.zeros_like(x)
+    z = jnp.zeros((abs(dy), x.shape[1]), x.dtype)
+    if dy > 0:
+        return jnp.concatenate([z, x[:r - dy]], axis=0)
+    return jnp.concatenate([x[-dy:], z], axis=0)
+
+
+def _prelu(x, alpha):
+    return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
+def _kernel(dilations, nb, n, c, wp, rimg, need_mask, x_ref,
+            pw_ref, paff_ref, taps_ref, cataff_ref, ew_ref, eaff_ref,
+            alpha_ref, padmask_ref, hmask_ref, *mask_and_out):
+    """One grid step = `bb` images through `nb` chained EESP units.
+
+    x block [1, bb*R, C] (R = rimg = H*Wp flat pixel rows per image);
+    stacked params: pw [nb, C, n], paff [nb, 3, n], taps [nb, K*9, n],
+    cataff [nb, 3, C], ew [nb, C, C], eaff [nb, 2, C], alpha [nb, 1, C];
+    padmask [bb*R, 1]; hmask [bb*R, 2*n_dils] (per-dilation +/- h-shift
+    image-boundary masks, zero where a shift crossed into the neighboring
+    image in the stack); then one [bb*R, 2] edge mask per dilation in
+    `need_mask`, then out_ref.
+    """
+    masks = {d: mask_and_out[i] for i, d in enumerate(need_mask)}
+    out_ref = mask_and_out[-1]
+    cdt = x_ref.dtype
+    k = len(dilations)
+    dils = sorted(set(dilations))
+
+    def dot(a, b):
+        return jax.lax.dot(a, b.astype(cdt),
+                           preferred_element_type=jnp.float32).astype(cdt)
+
+    padmask = padmask_ref[:].astype(cdt)            # [bb*R, 1]
+    x = x_ref[0]                                    # [bb*R, C]
+    for bi in range(nb):
+        pw = pw_ref[bi]
+        paff = paff_ref[bi].astype(cdt)             # [3, n]
+        cataff = cataff_ref[bi].astype(cdt)         # [3, C]
+        eaff = eaff_ref[bi].astype(cdt)             # [2, C]
+        alpha = alpha_ref[bi, 0].astype(cdt)        # [C]
+
+        y = dot(x, pw)                              # proj 1x1 [bb*R, n]
+        y = _prelu(y * paff[0][None, :] + paff[1][None, :],
+                   paff[2][None, :])
+        # re-zero the Wp-W pad rows: they must stay an exact conv halo for
+        # the shifts below (BN bias would otherwise leak into them)
+        y = y * padmask
+
+        # shared aligned h-shifts, per dilation, image-boundary masked
+        def hshift(d, dy):
+            if dy == 0:
+                return y
+            s = _shift_rows(y, dy * d * wp)
+            # zero rows whose source crossed an image boundary (the mask
+            # column is all-zero when d*wp >= rimg: window fully padding)
+            col = dils.index(d) * 2 + (0 if dy > 0 else 1)
+            return s * hmask_ref[:, col:col + 1].astype(cdt)
+
+        hsh = {d: {dy: hshift(d, dy) for dy in (-1, 0, 1)} for d in dils}
+
+        branches = []
+        for ki, d in enumerate(dilations):
+            acc = None
+            for ix in (-1, 0, 1):
+                inner = None
+                for iy in (-1, 0, 1):
+                    # conv 'same': out(h, w) += t[iy, ix] * y(h+iy, w+ix);
+                    # y(h+iy, .) = shift_rows(y, -iy*d*wp) = hsh[d][-iy]
+                    tap = taps_ref[bi, ki * 9 + (iy + 1) * 3 + (ix + 1), :]
+                    s = hsh[d][-iy]
+                    term = s * tap[None, :].astype(cdt)
+                    inner = term if inner is None else inner + term
+                if ix:
+                    inner = _shift_rows(inner, -ix * d)
+                    if d in masks:
+                        # +ix reads w+d (invalid past W-1 -> keep_neg col);
+                        # -ix reads w-d (invalid below 0 -> keep_pos col)
+                        m = masks[d][:].astype(cdt)
+                        inner = inner * (m[:, 1:2] if ix > 0 else m[:, 0:1])
+                acc = inner if acc is None else acc + inner
+            if branches:
+                acc = acc + branches[-1]            # HFF cumulative add
+            branches.append(acc)
+        cat = jnp.concatenate(branches, axis=1)     # [R, K*n = C]
+        cat = _prelu(cat * cataff[0][None, :] + cataff[1][None, :],
+                     cataff[2][None, :])
+        z = dot(cat, ew_ref[bi])                    # expand 1x1 [R, C]
+        z = z * eaff[0][None, :] + eaff[1][None, :]
+        z = z + x                                   # residual
+        x = _prelu(z, alpha[None, :])
+    out_ref[0] = x
+
+
+def _edge_masks(h: int, w: int, wp: int, dilations, dtype=np.float32):
+    """Static [R, 1] masks for dilations whose w-halo exceeds the pad cols.
+
+    mask[r] = 1 iff pixel (h, w=r%wp) has w >= d (valid source for a
+    +d w-shift); the -d direction uses (1 - mask) mirrored — but note the
+    mirrored predicate is w < W - d, so we build both explicitly."""
+    need = sorted({d for d in dilations if d > wp - w})
+    out = {}
+    for d in need:
+        col = np.arange(wp) % wp
+        keep_pos = (col >= d).astype(dtype)          # +d shift: w-d >= 0
+        keep_neg = (col < w - d).astype(dtype)       # -d shift: w+d < W
+        out[d] = (np.tile(keep_pos, h)[:, None],
+                  np.tile(keep_neg, h)[:, None])
+    return out
+
+
+def eesp_stage_fused_eval(
+    x: jnp.ndarray,
+    blocks: List[Dict[str, jnp.ndarray]],
+    dilations: Sequence[int],
+    interpret: bool = False,
+    max_blocks: int = 4,
+) -> jnp.ndarray:
+    """Run a chain of stride-1 EESP units (eval mode) as fused kernels.
+
+    x: [B, H, W, C]; blocks: per unit a dict with
+      pw   [C, n]   dense (block-diagonalized) proj weight
+      paff [3, n]   proj BN affine scale/bias + PReLU alpha
+      taps [K*9, n] branch depthwise taps (branch-major, row-major 3x3)
+      cataff [3, C] post-concat BN affine + PReLU alpha
+      ew   [C, C]   dense expand weight
+      eaff [2, C]   expand BN affine
+      alpha [C]     final PReLU
+    Returns [B, H, W, C].
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, h, w, c = x.shape
+    k = len(dilations)
+    n = c // k
+    wp = -(-w // 8) * 8
+    r = h * wp
+    # images per grid step: bigger arrays amortize per-op overhead (the
+    # per-image variant ran the MXU at low M-efficiency); bounded by VMEM
+    bb = next((d for d in (4, 2) if b % d == 0 and d * r * c * 2 <= 2 << 20),
+              1)
+    rb = bb * r
+
+    xp = x if wp == w else jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    xf = xp.reshape(b // bb, rb, c)
+
+    tile = lambda pat: jnp.asarray(np.tile(pat, bb)[:, None])
+    padmask = tile(np.tile((np.arange(wp) < w).astype(np.float32), h))
+    dils = sorted(set(dilations))
+    # per-(dilation, sign) h-shift masks: zero rows whose shifted source
+    # falls outside the row's own image segment in the bb-stack
+    local = np.arange(r)
+    hcols = []
+    for d in dils:
+        s = d * wp
+        hcols.append(np.tile((local >= s).astype(np.float32), bb))
+        hcols.append(np.tile((local < r - s).astype(np.float32), bb))
+    hmask = jnp.asarray(np.stack(hcols, axis=1))      # [bb*R, 2*n_dils]
+    emasks = _edge_masks(h, w, wp, dilations)
+    need_mask = tuple(sorted(emasks))
+    # one mask input per masked dilation: the +/- pair as a [bb*R, 2] array
+    mask_in = [jnp.asarray(np.tile(np.concatenate(emasks[d], axis=1),
+                                   (bb, 1)))
+               for d in need_mask]
+
+    out = xf
+    for b0 in range(0, len(blocks), max_blocks):
+        grp = blocks[b0:b0 + max_blocks]
+        nb = len(grp)
+        stack = {key: jnp.stack([blk[key] for blk in grp])
+                 for key in ("pw", "paff", "taps", "cataff", "ew", "eaff")}
+        alpha = jnp.stack([blk["alpha"][None, :] for blk in grp])  # [nb,1,C]
+        mdt = out.dtype
+        full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+        out = pl.pallas_call(
+            partial(_kernel, tuple(dilations), nb, n, c, wp, r, need_mask),
+            grid=(b // bb,),
+            in_specs=[
+                pl.BlockSpec((1, rb, c), lambda i: (i, 0, 0)),
+                full(stack["pw"].shape),
+                full(stack["paff"].shape),
+                full(stack["taps"].shape),
+                full(stack["cataff"].shape),
+                full(stack["ew"].shape),
+                full(stack["eaff"].shape),
+                full(alpha.shape),
+                full(padmask.shape),
+                full(hmask.shape),
+                *[full(m.shape) for m in mask_in],
+            ],
+            out_specs=pl.BlockSpec((1, rb, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b // bb, rb, c), out.dtype),
+            interpret=interpret,
+        )(out,
+          stack["pw"].astype(mdt), stack["paff"], stack["taps"],
+          stack["cataff"], stack["ew"].astype(mdt), stack["eaff"], alpha,
+          padmask, hmask, *mask_in)
+    out = out.reshape(b, h, wp, c)
+    return out[:, :, :w, :] if wp != w else out
+
+
+def _bn_affine(pvars, svars, eps: float = 1e-5):
+    a = pvars["scale"] / jnp.sqrt(svars["var"] + eps)
+    return a, pvars["bias"] - svars["mean"] * a
+
+
+def _dense_1x1(kernel: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """[1, 1, Cin/G, Cout] grouped 1x1 HWIO kernel -> dense [Cin, Cout]
+    block-diagonal (same densification as ops/grouped_conv.py)."""
+    _, _, cin_g, cout = kernel.shape
+    kg = kernel[0, 0].reshape(cin_g, groups, cout // groups)
+    eye = jnp.eye(groups, dtype=kernel.dtype)
+    dense = jnp.einsum("igo,gG->Gigo", kg, eye)
+    return dense.reshape(cin_g * groups, cout)
+
+
+def eesp_block_params(pvars, svars, k: int) -> Dict[str, jnp.ndarray]:
+    """Extract one EESP unit's fused-kernel arrays from its bound flax
+    variables (params pvars / batch_stats svars) — layers/eesp.py::EESP
+    param tree (proj_1x1 CBR, dw_d{i}_kernel, br_after_cat BR,
+    conv_1x1_exp CB, module_act PReLU)."""
+    proj_k = pvars["proj_1x1"]["CB_0"]["C_0"]["Conv_0"]["kernel"]
+    n = proj_k.shape[3]
+    taps = jnp.concatenate(
+        [pvars[f"dw_d{i}_kernel"].reshape(9, n) for i in range(k)], axis=0)
+    c = n * k
+    # stage blocks keep C (nin == nout), so the grouped kernel's I dim is
+    # C/G -> infer G from it (1 when the unit fell back to dense)
+    g_proj = c // proj_k.shape[2]
+    pa, pb = _bn_affine(pvars["proj_1x1"]["CB_0"]["BatchNorm_0"],
+                        svars["proj_1x1"]["CB_0"]["BatchNorm_0"])
+    paff = jnp.stack([pa, pb, pvars["proj_1x1"]["PReLU_0"]["alpha"]])
+    ca, cb = _bn_affine(pvars["br_after_cat"]["BatchNorm_0"],
+                        svars["br_after_cat"]["BatchNorm_0"])
+    cataff = jnp.stack([ca, cb, pvars["br_after_cat"]["PReLU_0"]["alpha"]])
+    exp_k = pvars["conv_1x1_exp"]["C_0"]["Conv_0"]["kernel"]
+    g_exp = c // exp_k.shape[2]
+    ea, eb = _bn_affine(pvars["conv_1x1_exp"]["BatchNorm_0"],
+                        svars["conv_1x1_exp"]["BatchNorm_0"])
+    return {
+        "pw": _dense_1x1(proj_k, g_proj),
+        "paff": paff,
+        "taps": taps,
+        "cataff": cataff,
+        "ew": _dense_1x1(exp_k, g_exp),
+        "eaff": jnp.stack([ea, eb]),
+        "alpha": pvars["module_act"]["alpha"],
+    }
