@@ -37,6 +37,19 @@ def estimate_flops(fn, *args) -> Optional[float]:
         return None
 
 
+def device_sync(tree) -> None:
+    """Force FULL completion of `tree`'s computation via a tiny host fetch.
+
+    On this environment's remote-TPU (axon) backend, ``jax.block_until_ready``
+    can return before a chain of dependent dispatches (e.g. a train-step loop
+    threading its state) has finished, silently inflating throughput numbers
+    ~20x in one measured case.  Fetching one element round-trips the runtime
+    and is reliable.  Use this instead of ``block_until_ready`` when timing.
+    """
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf.ravel()[0:1])
+
+
 class StepTimer:
     """Accumulates per-step wall-clock times; `summary()` gives mean/p50/p95.
 
@@ -44,7 +57,7 @@ class StepTimer:
         timer = StepTimer()
         with timer.step():
             out = train_step(...)
-            jax.block_until_ready(out)
+            device_sync(out)   # NOT block_until_ready — see device_sync
     """
 
     def __init__(self):
