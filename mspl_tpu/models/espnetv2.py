@@ -139,13 +139,23 @@ class EESPNet(nn.Module):
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Encoder taps at strides 2, 4, 8, 16."""
+        from mspl_tpu.layers.eesp import _avg_pool_3x3_s2
+
         img = x.astype(self.compute_dtype)
         l1 = self.level1(img, train=train)
-        l2 = self.level2_0(l1, img, train=train)
-        l3 = self.level3_0(l2, img, train=train)
+        # shared input pyramid: each DownSampler's reinforcement branch
+        # needs the raw image at ITS output resolution; pooling once here
+        # (instead of from full res inside every DownSampler) drops 5 of 9
+        # large avg-pools per forward with numerics unchanged — the
+        # DownSampler's own pooling loop no-ops on a size-matched input
+        img4 = _avg_pool_3x3_s2(_avg_pool_3x3_s2(img)) if self.reinf else img
+        img8 = _avg_pool_3x3_s2(img4) if self.reinf else img
+        img16 = _avg_pool_3x3_s2(img8) if self.reinf else img
+        l2 = self.level2_0(l1, img4, train=train)
+        l3 = self.level3_0(l2, img8, train=train)
         l3 = self._run_stage(l3, self.level3_blocks, "level3_blocks",
                              _STAGE_K[2], _STAGE_RLIM[2], train)
-        l4 = self.level4_0(l3, img, train=train)
+        l4 = self.level4_0(l3, img16, train=train)
         l4 = self._run_stage(l4, self.level4_blocks, "level4_blocks",
                              _STAGE_K[3], _STAGE_RLIM[3], train)
         return l1, l2, l3, l4
