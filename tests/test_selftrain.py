@@ -86,6 +86,33 @@ def test_self_training_rounds(tmp_path):
     assert len(list(r0.glob("pseudo_*.png"))) == 16
 
 
+@pytest.mark.slow
+def test_self_training_deeplab_backbone_swap(tmp_path):
+    """Config #5's backbone swap: the self-training target model can be the
+    DeepLab-family network instead of ESPNetv2 (BASELINE.json:11)."""
+    from mspl_tpu.models import build_segmentation_model
+
+    target = SyntheticSegmentation(num_classes=NUM_CLASSES, size_wh=(48, 32),
+                                   length=8, seed=6, unlabeled=True)
+    val = SyntheticSegmentation(num_classes=NUM_CLASSES, size_wh=(48, 32),
+                                length=8, seed=7)
+    sources = [_palette_source(target.palette, sharp=4.0, name="oracle")]
+    model = build_segmentation_model("deeplabv3", num_classes=NUM_CLASSES)
+    variables = init_model(model, (32, 48))
+    cfg = SelfTrainConfig(
+        rounds=1, p_init=0.6, p_step=0.1, fusion="soft", batch_size=8,
+        epochs_per_round=2, crop_hw=(32, 48), scale_range=(0.95, 1.05),
+        lr=0.005, optimizer="adam", scheduler="fixed",
+        out_dir=str(tmp_path / "labels"), ckpt_dir=str(tmp_path / "ckpt"),
+        verbose=False,
+    )
+    res = self_training(model, variables, sources, target,
+                        DataLoader(val, batch_size=8), NUM_CLASSES, cfg)
+    assert len(res["history"]) == 1
+    assert 0.0 <= res["best_miou"] <= 1.0
+    assert 0.1 < res["history"][0]["frac_kept"] <= 1.0
+
+
 def test_pseudo_labeled_dataset_roundtrip():
     base = SyntheticSegmentation(num_classes=3, size_wh=(16, 12), length=6,
                                  seed=5, unlabeled=True)
