@@ -44,6 +44,34 @@ def test_soft_fusion_matches_manual():
     np.testing.assert_allclose(np.asarray(conf), fused.max(-1), rtol=1e-5)
 
 
+def test_soft_fusion_matches_torch_oracle():
+    """Cross-framework fp32 parity of the full pseudo pass (the north-star
+    quality gate, BASELINE.json:5): an independent torch implementation of
+    softmax -> label-space pooling -> soft fusion -> kc threshold must
+    produce identical per-pixel labels and matching confidences."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    logits, convs = _setup(rng)
+    kc = jnp.asarray([0.45, 0.5, 0.4], jnp.float32)
+    label, conf = fused_pseudo_pass(logits, convs, mode="soft", kc=kc)
+
+    with torch.no_grad():
+        qs = []
+        for lg, m in zip(logits, convs):
+            t = torch.from_numpy(np.asarray(lg))
+            p = torch.softmax(t, dim=-1)
+            qs.append(p @ torch.from_numpy(np.asarray(m, np.float32)))
+        fused = torch.stack(qs).mean(0)[..., :3]
+        t_conf, t_label = fused.max(-1)
+        t_label = torch.where(
+            t_conf >= torch.as_tensor(np.asarray(kc))[t_label],
+            t_label, torch.full_like(t_label, IGNORE_LABEL))
+    np.testing.assert_array_equal(np.asarray(label), t_label.numpy())
+    np.testing.assert_allclose(np.asarray(conf), t_conf.numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_fusion_permutation_invariant():
     rng = np.random.default_rng(1)
     logits, convs = _setup(rng)
