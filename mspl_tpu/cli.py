@@ -99,6 +99,9 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--bf16", action="store_true",
                    help="run the conv stack in bfloat16")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations in the backward "
+                        "(jax.checkpoint) to fit larger batch x crop in HBM")
     p.add_argument("--ckpt-dir", default="./runs/ckpt")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--resume", action="store_true")
@@ -167,6 +170,7 @@ def cmd_train(args) -> Dict:
         scheduler=args.scheduler, optimizer=args.optimizer,
         weight_decay=args.weight_decay, seed=args.seed,
         ckpt_dir=args.ckpt_dir, log_dir=args.log_dir, resume=args.resume,
+        remat=getattr(args, "remat", False),
     )
     res = train_segmentation(model, variables, train_loader, val_loader,
                              info.num_classes, cfg,

@@ -77,8 +77,14 @@ def make_train_step(
     augment: bool = True,
     mean=None,
     std=None,
+    remat: bool = False,
 ):
-    """Returns jitted (state, batch, rng) -> (state, metrics) train step."""
+    """Returns jitted (state, batch, rng) -> (state, metrics) train step.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` so the backward
+    recomputes activations instead of holding them in HBM — the standard
+    TPU trade of FLOPs for memory when batch x crop would otherwise OOM.
+    """
     cw = None if class_weights is None else jnp.asarray(class_weights)
     norm_kw = {}
     if mean is not None:
@@ -95,14 +101,20 @@ def make_train_step(
         else:
             imgs = normalize(imgs8, **norm_kw)
 
-        def loss_fn(params):
-            out, mutated = state.apply_fn(
+        def fwd(params, imgs):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 imgs,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(rng, 1)},
             )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            out, mutated = fwd(params, imgs)
             loss = segmentation_loss(
                 out, labels, class_weights=cw,
                 reg_mode=reg_mode, reg_weight=reg_weight,
@@ -178,6 +190,7 @@ class TrainLoopConfig:
     resume: bool = False
     eval_every: int = 1
     augment: bool = True
+    remat: bool = False
     verbose: bool = True
 
 
@@ -216,7 +229,7 @@ def train_segmentation(
     train_step = make_train_step(
         model, crop_hw=cfg.crop_hw, scale_range=cfg.scale_range,
         class_weights=class_weights, reg_mode=cfg.reg_mode,
-        reg_weight=cfg.reg_weight, augment=cfg.augment,
+        reg_weight=cfg.reg_weight, augment=cfg.augment, remat=cfg.remat,
     )
     eval_step = make_eval_step(model, num_classes)
     logger = ScalarLogger(cfg.log_dir)

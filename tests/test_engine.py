@@ -152,3 +152,39 @@ def test_synthetic_training_learns(tmp_path):
                               num_classes=4, cfg=cfg2)
     assert len(res2["history"]) == 1  # only the one extra epoch ran
     assert res2["best_miou"] >= res["best_miou"] - 1e-6
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint rematerialization (TrainLoopConfig.remat) must not
+    change the step's math: identical loss and updated params."""
+    import optax
+
+    from mspl_tpu.engine.train import (build_optimizer, create_train_state,
+                                       make_train_step)
+    from mspl_tpu.models import ESPNetv2Segmentation, init_model
+
+    rng = np.random.RandomState(0)
+    model = ESPNetv2Segmentation(num_classes=3, s=0.5, dec_base_planes=8)
+    variables = init_model(model, (16, 24))
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (4, 16, 24, 3)), jnp.uint8),
+        "label": jnp.asarray(rng.randint(0, 3, (4, 16, 24)), jnp.int32),
+        "valid": jnp.ones((4,), bool),
+    }
+    key = jax.random.PRNGKey(0)
+    outs = []
+    for remat in (False, True):
+        tx = build_optimizer("sgd", optax.constant_schedule(1e-2))
+        # fresh buffers: the jitted step donates its state, which would
+        # otherwise delete the shared `variables` arrays on the first run
+        vcopy = jax.tree_util.tree_map(jnp.array, variables)
+        state = create_train_state(model, vcopy, tx)
+        step = make_train_step(model, crop_hw=(16, 24),
+                               scale_range=(0.9, 1.1), remat=remat)
+        state, m = step(state, batch, key)
+        outs.append((float(m["loss"]), state.params))
+    assert np.isclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
