@@ -69,15 +69,20 @@ def main():
     imgs = jax.device_put(
         jax.random.normal(rng, (BATCH, *HW, 3)).astype(jnp.bfloat16))
 
-    # warmup / compile
+    # warmup / compile.  Syncs use a 1-element host fetch, not
+    # block_until_ready: the latter can return early through the remote-TPU
+    # tunnel (see mspl_tpu/utils/profiling.py::device_sync; the fetch-synced
+    # number was cross-checked equal here, 1149.9 vs 1146.8).
+    from mspl_tpu.utils.profiling import device_sync
+
     for _ in range(WARMUP):
         lab, conf = pseudo_batch(imgs)
-    jax.block_until_ready((lab, conf))
+    device_sync(lab)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         lab, conf = pseudo_batch(imgs)
-    jax.block_until_ready((lab, conf))
+    device_sync(lab)
     dt = time.perf_counter() - t0
 
     n_chips = max(jax.device_count(), 1)

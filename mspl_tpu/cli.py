@@ -487,6 +487,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from mspl_tpu.parallel.mesh import maybe_init_distributed
+
+    if maybe_init_distributed():
+        print_info_message("joined multi-host job (jax.distributed)")
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -26,6 +26,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Join a multi-host TPU job when launch env vars are present.
+
+    Single-slice multi-chip needs nothing (one process sees all chips over
+    ICI); across hosts JAX coordinates over DCN via
+    ``jax.distributed.initialize``.  Controlled by env vars so single-host
+    runs (tests, CLI, bench) are untouched:
+
+      MSPL_COORDINATOR   host:port of process 0
+      MSPL_NUM_PROCESSES total process count
+      MSPL_PROCESS_ID    this process's index
+
+    After this, ``jax.devices()`` spans the whole job and the same mesh /
+    GSPMD code paths shard over it — no other code changes anywhere.
+    Returns True if distributed mode was initialized.
+    """
+    import os
+
+    coord = os.environ.get("MSPL_COORDINATOR")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["MSPL_NUM_PROCESSES"]),
+        process_id=int(os.environ["MSPL_PROCESS_ID"]),
+    )
+    return True
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
