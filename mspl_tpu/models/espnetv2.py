@@ -224,14 +224,15 @@ class ESPNetv2Segmentation(nn.Module):
             # classifier stage fuses its whole tail into the Pallas kernel
             # at eval and emits [B, C, h, w]; the final resize stays
             # channel-major all the way to the fused pseudo-label pass
-            from mspl_tpu.ops.resize import resize_bilinear_cm
+            # (Pallas x2 kernel on TPU, einsum fallback elsewhere)
+            from mspl_tpu.ops.pallas_resize import resize_x2_cm_pallas
 
             out = EfficientPyrPool(
                 proj, dec_planes[3], last_layer_br=False, fuse_tail=True,
                 channel_major_out=True, name="bu_dec_l4",
             )(out, train=train)
-            return resize_bilinear_cm(out, (x.shape[1], x.shape[2]),
-                                      align_corners=True)
+            return resize_x2_cm_pallas(out, (x.shape[1], x.shape[2]),
+                                       align_corners=True)
         out = EfficientPyrPool(
             proj, dec_planes[3], last_layer_br=False, name="bu_dec_l4"
         )(out, train=train)
