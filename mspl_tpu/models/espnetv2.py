@@ -200,9 +200,12 @@ class ESPNetv2Segmentation(nn.Module):
 
         def up_to(t, like):
             # upsample to the skip tap's spatial size (handles odd sizes where
-            # a pure x2 upsample would be off by one, e.g. 45 -> 23 -> 45)
+            # a pure x2 upsample would be off by one, e.g. 45 -> 23 -> 45).
+            # W-contraction first: the H-first order leaves the last (1/2-res,
+            # 32-channel) upsample in a layout XLA then copies (~1.7 ms/model
+            # of copy.* in the device trace)
             return resize_bilinear(t, (like.shape[1], like.shape[2]),
-                                   align_corners=True)
+                                   align_corners=True, order="wh")
 
         out = EfficientPyrPool(proj, dec_planes[0], name="bu_dec_l1")(l4, train=train)
 

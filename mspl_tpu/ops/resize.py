@@ -71,12 +71,17 @@ def resize_bilinear(
     x: jnp.ndarray,
     size_hw: Tuple[int, int],
     align_corners: bool = True,
+    order: str = "hw",
 ) -> jnp.ndarray:
     """Bilinearly resize NHWC (or HWC) `x` to spatial `size_hw` = (H, W).
 
     `align_corners=True` matches the reference decoder's
     `F.interpolate(..., mode="bilinear", align_corners=True)`;
-    `align_corners=False` is the half-pixel convention.
+    `align_corners=False` is the half-pixel convention.  `order` picks
+    which spatial contraction runs first ("hw" or "wh") — mathematically
+    identical (separable linear ops commute; fp differences are at
+    rounding level), but the resulting XLA layouts differ and some call
+    sites avoid a relayout copy with the swapped order.
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -88,10 +93,14 @@ def resize_bilinear(
     if (h_in, w_in) == (h_out, w_out):
         return x[0] if squeeze else x
     xf = x
-    if h_in != h_out:
-        xf = _mm("oh,bhwc->bowc", _interp_matrix(h_in, h_out, align_corners), xf)
-    if w_in != w_out:
-        xf = _mm("ow,bhwc->bhoc", _interp_matrix(w_in, w_out, align_corners), xf)
+    steps = ("h", "w") if order == "hw" else ("w", "h")
+    for dim in steps:
+        if dim == "h" and h_in != h_out:
+            xf = _mm("oh,bhwc->bowc",
+                     _interp_matrix(h_in, h_out, align_corners), xf)
+        elif dim == "w" and w_in != w_out:
+            xf = _mm("ow,bhwc->bhoc",
+                     _interp_matrix(w_in, w_out, align_corners), xf)
     return xf[0] if squeeze else xf
 
 
