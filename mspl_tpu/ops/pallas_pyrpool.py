@@ -655,6 +655,120 @@ def _pyr_branches_impl(
     return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, S*P]
 
 
+def _branches_kernel_v2(scales, sizes, slots, h, w, p, gsz,
+                        x_ref, *rest):
+    """Channel-group-stacked branch stack (grid (B, P/gsz)) — the same
+    one-tap-one-op restructure as _fused_kernel_v2 but WITHOUT the tail
+    (the wide inner decoder stages keep their XLA tail, which measured
+    faster than in-kernel for O >= 32).
+
+    rest: per scale (s != 1.0): down_h [slot, H] / down_wT / up_h [H, slot]
+    / up_wT (compute dtype, slot-padded); then per scale: taps_exp
+    [gsz*R_s, 9]; then out_ref [1, S, gsz, h, w] (channel-group block of
+    the [B, S, P, H, W] output)."""
+    out_ref = rest[-1]
+    mats = {}
+    mi = 0
+    for si, s in enumerate(scales):
+        if s != 1.0:
+            mats[si] = tuple(rest[mi + j] for j in range(4))
+            mi += 4
+    taps_exp = rest[mi:-1]
+    cdt = x_ref.dtype
+
+    def dot(a, b):
+        return jax.lax.dot(a.astype(cdt), b.astype(cdt),
+                           preferred_element_type=jnp.float32).astype(cdt)
+
+    planes = [x_ref[0, c, :, :] for c in range(gsz)]
+    gh = h + _GAP
+    for si, s in enumerate(scales):
+        hs, ws = sizes[si]
+        if s == 1.0:
+            vs = _stack_planes(planes, w)
+            vs = _dw3x3_rows(vs, taps_exp[si][:])
+        else:
+            down_h, down_wT, up_h, up_wT = mats[si]
+            dh = down_h[:]
+            uh = up_h[:]
+            slot = slots[si]
+            ys = jnp.concatenate([dot(dh, pl_) for pl_ in planes], axis=0)
+            ys = dot(ys, down_wT[:])
+            ys = _dw3x3_rows(ys, taps_exp[si][:])
+            ups = [dot(uh, ys[j * slot:(j + 1) * slot, :])
+                   for j in range(gsz)]
+            vs = _stack_planes(ups, ws)
+            vs = dot(vs, up_wT[:])
+        for j in range(gsz):
+            out_ref[0, si, j] = vs[j * gh:j * gh + h, :]
+
+
+def _pyr_branches_impl_v2(
+    x: jnp.ndarray,
+    weights: jnp.ndarray,
+    scales: Sequence[float],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Group-stacked variant of _pyr_branches_impl (same contract)."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, h, w, p = x.shape
+    s_n = len(scales)
+    gsz = next((d for d in (4, 3, 2) if p % d == 0), 1)
+    if h % 8 != 0 or gsz == 1:
+        return _pyr_branches_impl(x, weights, scales, interpret=interpret)
+    sizes = _branch_sizes(h, w, scales)
+    slots = tuple(
+        h + _GAP if s == 1.0 else _slot(sizes[si][0])
+        for si, s in enumerate(scales)
+    )
+    mdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    mats = []
+    for si, s in enumerate(scales):
+        hs, ws = sizes[si]
+        if s == 1.0:
+            continue
+        if s < 1.0:
+            dh = _adaptive_avg_matrix(h, hs)
+            dw_ = _adaptive_avg_matrix(w, ws)
+        else:
+            dh = _interp_matrix(h, hs, True)
+            dw_ = _interp_matrix(w, ws, True)
+        uh = _interp_matrix(hs, h, True)
+        uw = _interp_matrix(ws, w, True)
+        pad = slots[si] - hs
+        dh = np.pad(dh, ((0, pad), (0, 0)))
+        uh = np.pad(uh, ((0, 0), (0, pad)))
+        mats += [jnp.asarray(dh, mdt), jnp.asarray(dw_.T, mdt),
+                 jnp.asarray(uh, mdt), jnp.asarray(uw.T, mdt)]
+    taps = weights.astype(jnp.float32).reshape(s_n, 9, p)
+    taps_exp = []
+    per_scale_specs = []
+    for si, s in enumerate(scales):
+        hs = h if s == 1.0 else sizes[si][0]
+        taps_exp.append(_expand_rows(taps[si].T, hs, slots[si]))
+        per_scale_specs.append(
+            pl.BlockSpec((gsz * slots[si], 9), lambda i, g: (g, 0)))
+
+    xp = jnp.transpose(x, (0, 3, 1, 2))  # [B, P, H, W]
+    full = lambda shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
+    out = pl.pallas_call(
+        partial(_branches_kernel_v2, tuple(scales), sizes, slots, h, w, p,
+                gsz),
+        grid=(b, p // gsz),
+        in_specs=[
+            pl.BlockSpec((1, gsz, h, w), lambda i, g: (i, g, 0, 0)),
+            *[full(m.shape) for m in mats],
+            *per_scale_specs,
+        ],
+        out_specs=pl.BlockSpec((1, s_n, gsz, h, w),
+                               lambda i, g: (i, 0, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s_n, p, h, w), x.dtype),
+        interpret=interpret,
+    )(xp, *mats, *taps_exp)
+    out = out.reshape(b, s_n * p, h, w)
+    return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, S*P]
+
+
 from functools import lru_cache
 
 
@@ -667,7 +781,7 @@ def _branches_with_vjp(scales: Tuple[float, ...]):
 
     @jax.custom_vjp
     def f(x, w):
-        return _pyr_branches_impl(x, w, scales)
+        return _pyr_branches_impl_v2(x, w, scales)
 
     def fwd(x, w):
         return f(x, w), (x, w)
