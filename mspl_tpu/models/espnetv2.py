@@ -72,11 +72,12 @@ class EESPNet(nn.Module):
     # EXPERIMENTAL (measured slower, default off): fuse each stride-1 EESP
     # stage into chained whole-stage Pallas kernels at eval
     # (ops/pallas_eesp_stage.py).  Measured on v5e (batch 128, bf16,
-    # 256x480 input): stage3 9.8 ms vs 7.2 ms lax, stage4 8.1 vs 6.9, whole
-    # fwd 45.1 vs 40.0 — the per-image grid runs the (block-diagonal-
-    # densified, 4x-FLOP) 1x1 dots at low M-efficiency and the 64-lane
-    # stage3 branch arrays at half VPU width; image-batched blocks (bb=2)
-    # blow the 16 MB scoped-VMEM limit at 35.6 MB.  None = off.
+    # 256x480 input): stage3 9.8 ms vs 7.2 ms lax, stage4 8.1 vs 6.9
+    # (8.5 with 2 images per step — batching doesn't help), whole fwd 45.1
+    # vs 40.0 — the per-image grid runs the (block-diagonal-densified,
+    # 4x-FLOP) 1x1 dots at low M-efficiency and the 64-lane stage3 branch
+    # arrays at half VPU width; stage3 with 2 images per step blows the
+    # 16 MB scoped-VMEM limit at 35.6 MB.  None = off.
     fuse_stages: bool | None = None
 
     def setup(self):

@@ -62,7 +62,7 @@ def _prelu(x, alpha):
     return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
-def _kernel(dilations, nb, n, c, wp, rimg, need_mask, x_ref,
+def _kernel(dilations, nb, n, c, wp, rimg, bb, need_mask, x_ref,
             pw_ref, paff_ref, taps_ref, cataff_ref, ew_ref, eaff_ref,
             alpha_ref, padmask_ref, hmask_ref, *mask_and_out):
     """One grid step = `bb` images through `nb` chained EESP units.
@@ -101,28 +101,32 @@ def _kernel(dilations, nb, n, c, wp, rimg, need_mask, x_ref,
         # the shifts below (BN bias would otherwise leak into them)
         y = y * padmask
 
-        # shared aligned h-shifts, per dilation, image-boundary masked
+        # h-shifts built on demand per branch (a shared all-dilation cache
+        # held 9-12 arrays live and pushed the VMEM stack over its limit),
+        # image-boundary masked (the mask column is all-zero when
+        # d*wp >= rimg: window fully padding)
         def hshift(d, dy):
             if dy == 0:
                 return y
             s = _shift_rows(y, dy * d * wp)
-            # zero rows whose source crossed an image boundary (the mask
-            # column is all-zero when d*wp >= rimg: window fully padding)
+            if bb == 1:
+                # single image per step: _shift_rows' zero fill IS the
+                # image boundary; masking would only add temporaries
+                return s
             col = dils.index(d) * 2 + (0 if dy > 0 else 1)
             return s * hmask_ref[:, col:col + 1].astype(cdt)
 
-        hsh = {d: {dy: hshift(d, dy) for dy in (-1, 0, 1)} for d in dils}
-
         branches = []
         for ki, d in enumerate(dilations):
+            hsh = {dy: hshift(d, dy) for dy in (-1, 0, 1)}
             acc = None
             for ix in (-1, 0, 1):
                 inner = None
                 for iy in (-1, 0, 1):
                     # conv 'same': out(h, w) += t[iy, ix] * y(h+iy, w+ix);
-                    # y(h+iy, .) = shift_rows(y, -iy*d*wp) = hsh[d][-iy]
+                    # y(h+iy, .) = shift_rows(y, -iy*d*wp) = hsh[-iy]
                     tap = taps_ref[bi, ki * 9 + (iy + 1) * 3 + (ix + 1), :]
-                    s = hsh[d][-iy]
+                    s = hsh[-iy]
                     term = s * tap[None, :].astype(cdt)
                     inner = term if inner is None else inner + term
                 if ix:
@@ -190,7 +194,11 @@ def eesp_stage_fused_eval(
     r = h * wp
     # images per grid step: bigger arrays amortize per-op overhead (the
     # per-image variant ran the MXU at low M-efficiency); bounded by VMEM
-    bb = next((d for d in (4, 2) if b % d == 0 and d * r * c * 2 <= 2 << 20),
+    # block bytes capped at 1 MB: stage4-size blocks batch 2 images; the
+    # wider stage3 stays per-image (its bb=2 live set measured 35.6 MB
+    # against the 16 MB scoped-VMEM limit — in/out double buffers alone
+    # are 4x the block size)
+    bb = next((d for d in (4, 2) if b % d == 0 and d * r * c * 2 <= 1 << 20),
               1)
     rb = bb * r
 
@@ -226,7 +234,8 @@ def eesp_stage_fused_eval(
         mdt = out.dtype
         full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
         out = pl.pallas_call(
-            partial(_kernel, tuple(dilations), nb, n, c, wp, r, need_mask),
+            partial(_kernel, tuple(dilations), nb, n, c, wp, r, bb,
+                    need_mask),
             grid=(b // bb,),
             in_specs=[
                 pl.BlockSpec((1, rb, c), lambda i: (i, 0, 0)),
