@@ -53,11 +53,18 @@ def _kernel(convs, n_t, ignore_label, *refs):
     for m, conv in enumerate(convs):
         x = refs[m][0].astype(jnp.float32)  # [C_m, hb, W]
         c_m = conv.shape[0]
+        hb = x.shape[1]
         planes = [x[c] for c in range(c_m)]
         mx = planes[0]
         for pplane in planes[1:]:
             mx = jnp.maximum(mx, pplane)
-        exps = [jnp.exp(pplane - mx) for pplane in planes]
+        # one whole-stack subtract+exp instead of one per class: the class
+        # planes are row-stacked [C_m*hb, W] (hb % 8 == 0 keeps the merge
+        # layout-free), the shared max is tiled to match
+        stack = jnp.concatenate(planes, axis=0)
+        mx_full = jnp.concatenate([mx] * c_m, axis=0)
+        e_all = jnp.exp(stack - mx_full)
+        exps = [e_all[c * hb:(c + 1) * hb, :] for c in range(c_m)]
         tot = exps[0]
         for e in exps[1:]:
             tot = tot + e
