@@ -24,6 +24,7 @@ import numpy as np
 
 from mspl_tpu.utils.print_utils import print_info_message
 from mspl_tpu.utils.registry import (
+    CONF_MODES,
     FUSION_MODES,
     MODEL_NAMES,
     SCHEDULER_NAMES,
@@ -249,37 +250,47 @@ def cmd_eval(args) -> Dict:
     save_dir = getattr(args, "save_viz", None)
     if save_dir:
         # reference test_segmentation.py-style colorized prediction dumps
-        # (SURVEY.md §3.4 "optional colorized PNG overlay saved")
+        # (SURVEY.md §3.4 "optional colorized PNG overlay saved").  One pass
+        # over the set: the jitted step returns both the prediction map and
+        # the batch confusion matrix, so eval isn't traversed twice.
         import jax
         import jax.numpy as jnp
 
         from mspl_tpu.data.label_io import save_colorized_png
         from mspl_tpu.data.transforms import normalize
+        from mspl_tpu.engine.metrics import MIOU, confusion_matrix
 
         os.makedirs(save_dir, exist_ok=True)
+        nc = meta["num_classes"]
 
         @jax.jit
-        def predict(params, batch_stats, imgs):
-            x = normalize(imgs)  # same pipeline as make_eval_step
+        def predict(params, batch_stats, batch):
+            x = normalize(batch["image"])  # same pipeline as make_eval_step
             logits = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=False)
-            return jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            cm = confusion_matrix(pred, batch["label"], nc,
+                                  batch_mask=batch.get("valid"))
+            return pred, cm
 
+        miou_acc = MIOU(nc)
         for batch in loader:
-            preds = np.asarray(predict(variables["params"],
-                                       variables["batch_stats"],
-                                       batch["image"]))
+            preds, cm = predict(variables["params"],
+                                variables["batch_stats"], batch)
+            miou_acc.update(cm)
+            preds = np.asarray(preds)
             for j, idx in enumerate(np.asarray(batch["index"])):
                 if not bool(batch["valid"][j]):
                     continue
                 save_colorized_png(
                     preds[j],
                     os.path.join(save_dir, f"pred_{int(idx):06d}.png"))
-
-    iou, miou = evaluate(eval_step, variables["params"],
-                         variables["batch_stats"], loader,
-                         meta["num_classes"])
+        iou, miou = miou_acc.get_iou()
+    else:
+        iou, miou = evaluate(eval_step, variables["params"],
+                             variables["batch_stats"], loader,
+                             meta["num_classes"])
     info = dataset_info(args.dataset or meta["dataset"])
     names = info.class_names or [str(i) for i in range(meta["num_classes"])]
     for n, v in zip(names, iou):
@@ -320,13 +331,21 @@ def cmd_pseudo(args) -> Dict:
     ds = GreenhouseRGBD(args.data_root, args.target_list,
                         size_wh=tuple(args.size) if args.size else None)
     loader = DataLoader(ds, args.batch_size)
+    conf_mode = args.conf_mode
+    threshold = args.threshold
+    if getattr(args, "entropy_threshold", None) is not None:
+        # --entropy-threshold TAU drops pixels whose normalized entropy
+        # H/ln(T+1) exceeds TAU, i.e. keeps conf = 1 - H/ln(T+1) >= 1 - TAU
+        conf_mode = "entropy"
+        threshold = 1.0 - args.entropy_threshold
     labels, confs, indices = generate_pseudo_labels(
-        sources, loader, mode=args.fusion, use_pallas=args.pallas)
+        sources, loader, mode=args.fusion, use_pallas=args.pallas,
+        conf_mode=conf_mode)
 
     if args.p is not None:  # class-balanced thresholds
         kc = sweep_kc(labels, confs, t, args.p)
     else:
-        kc = np.full(t, args.threshold, np.float32)
+        kc = np.full(t, threshold, np.float32)
     safe = np.where(labels == IGNORE_LABEL, 0, labels)
     labels = np.where(confs >= kc[safe], labels, IGNORE_LABEL).astype(np.int32)
 
@@ -386,7 +405,8 @@ def cmd_selftrain(args) -> Dict:
     crop_wh = args.crop_size or size_wh or info.size_wh
     cfg = SelfTrainConfig(
         rounds=args.rounds, p_init=args.p_init, p_step=args.p_step,
-        fusion=args.fusion, batch_size=args.batch_size,
+        fusion=args.fusion, conf_mode=args.conf_mode,
+        batch_size=args.batch_size,
         epochs_per_round=args.epochs, crop_hw=(crop_wh[1], crop_wh[0]),
         lr=args.lr, optimizer=args.optimizer, scheduler=args.scheduler,
         weight_decay=args.weight_decay, reg_mode=args.reg_mode,
@@ -452,6 +472,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--target-list", required=True)
     g.add_argument("--out-dir", required=True)
     g.add_argument("--fusion", default="soft", choices=FUSION_MODES)
+    g.add_argument("--conf-mode", default="prob", choices=CONF_MODES,
+                   help="confidence family for thresholding: max-probability "
+                        "or normalized anti-entropy (BASELINE.json:5 "
+                        "'confidence/entropy thresholding')")
+    g.add_argument("--entropy-threshold", type=float, default=None,
+                   metavar="TAU",
+                   help="drop pixels whose normalized fused entropy exceeds "
+                        "TAU (implies --conf-mode entropy; overrides "
+                        "--threshold)")
     g.add_argument("--threshold", type=float, default=0.5)
     g.add_argument("--p", type=float, default=None,
                    help="class-balanced portion (overrides --threshold)")
@@ -474,6 +503,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--p-init", type=float, default=0.2)
     s.add_argument("--p-step", type=float, default=0.05)
     s.add_argument("--fusion", default="soft", choices=FUSION_MODES)
+    s.add_argument("--conf-mode", default="prob", choices=CONF_MODES)
     s.add_argument("--reg-mode", default="kld", choices=("none", "kld", "ent"))
     s.add_argument("--reg-weight", type=float, default=0.1)
     s.add_argument("--out-dir", default=None)

@@ -198,7 +198,8 @@ def eesp_stage_fused_eval(
     # wider stage3 stays per-image (its bb=2 live set measured 35.6 MB
     # against the 16 MB scoped-VMEM limit — in/out double buffers alone
     # are 4x the block size)
-    bb = next((d for d in (4, 2) if b % d == 0 and d * r * c * 2 <= 1 << 20),
+    bb = next((d for d in (4, 2)
+               if b % d == 0 and d * r * c * x.dtype.itemsize <= 1 << 20),
               1)
     rb = bb * r
 

@@ -39,8 +39,15 @@ from mspl_tpu.utils.registry import IGNORE_LABEL
 TILE_P = 1024
 
 
+def _entropy_conf(dist: jnp.ndarray) -> jnp.ndarray:
+    """Normalized anti-entropy over lanes — matches
+    generate.entropy_confidence (1 - H/ln(K))."""
+    xlogx = jnp.where(dist > 0, dist * jnp.log(jnp.maximum(dist, 1e-30)), 0.0)
+    return 1.0 + jnp.sum(xlogx, axis=-1) / float(np.log(dist.shape[-1]))
+
+
 def _kernel(n_models: int, num_target: int, mode: str, min_agree: int,
-            ignore_label: int, has_kc: bool, *refs):
+            ignore_label: int, has_kc: bool, conf_mode: str, *refs):
     """refs = [logits_0..logits_{N-1}, mat_0..mat_{N-1}, (kc,), out_label,
     out_conf]"""
     logits_refs = refs[:n_models]
@@ -72,11 +79,19 @@ def _kernel(n_models: int, num_target: int, mode: str, min_agree: int,
         fused = acc / n_models
         tgt = fused[:, :t]
         label = jnp.argmax(tgt, axis=-1).astype(jnp.int32)
-        conf = jnp.max(tgt, axis=-1)
+        if conf_mode == "entropy":
+            conf = _entropy_conf(fused)
+        else:
+            conf = jnp.max(tgt, axis=-1)
     else:
         label = jnp.argmax(acc, axis=-1).astype(jnp.int32)
         top = jnp.max(acc, axis=-1)
-        conf = top / n_models
+        if conf_mode == "entropy":
+            ig = (n_models - jnp.sum(acc, axis=-1, keepdims=True))
+            dist = jnp.concatenate([acc, ig], axis=-1) / n_models
+            conf = _entropy_conf(dist)
+        else:
+            conf = top / n_models
         label = jnp.where(top >= min_agree, label, ignore_label)
 
     if has_kc:
@@ -98,6 +113,7 @@ def fused_pseudo_pass_pallas(
     min_agree: Optional[int] = None,
     ignore_label: int = IGNORE_LABEL,
     interpret: bool = False,
+    conf_mode: str = "prob",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in Pallas equivalent of generate.fused_pseudo_pass.
 
@@ -151,7 +167,8 @@ def fused_pseudo_pass_pallas(
         pl.BlockSpec((TILE_P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
 
-    kernel = partial(_kernel, n_models, t, mode, need, ignore_label, has_kc)
+    kernel = partial(_kernel, n_models, t, mode, need, ignore_label, has_kc,
+                     conf_mode)
     label, conf = pl.pallas_call(
         kernel,
         grid=grid,

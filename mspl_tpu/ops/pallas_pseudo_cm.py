@@ -38,7 +38,7 @@ def _pick_hblock(h: int, target: int = 64) -> Optional[int]:
     return None
 
 
-def _kernel(convs, n_t, ignore_label, *refs):
+def _kernel(convs, n_t, ignore_label, conf_mode, *refs):
     """refs = [logits_1 .. logits_N, kc, out_label, out_conf].
 
     logits_m block [1, C_m, hb, W]; kc [1, T]; outputs [1, hb, W].
@@ -97,12 +97,29 @@ def _kernel(convs, n_t, ignore_label, *refs):
         lbl = jnp.where(better, t, lbl)
         best = jnp.maximum(best, fused[t])
 
-    thr = jnp.zeros_like(best)
+    if conf_mode == "entropy":
+        # normalized anti-entropy over the full fused (T+1)-way distribution;
+        # the ignore plane is recovered as 1 - sum(target planes) (each
+        # model's converted probs sum to 1 over T+1 columns)
+        tot = fused[0]
+        for t in range(1, n_t):
+            tot = tot + fused[t]
+        p_ig = jnp.maximum(1.0 - tot, 0.0)
+        xlogx = lambda p: jnp.where(
+            p > 0, p * jnp.log(jnp.maximum(p, 1e-30)), 0.0)
+        s = xlogx(p_ig)
+        for t in range(n_t):
+            s = s + xlogx(fused[t])
+        conf = 1.0 + s * (1.0 / float(np.log(n_t + 1)))
+    else:
+        conf = best
+
+    thr = jnp.zeros_like(conf)
     for t in range(n_t):
         thr = jnp.where(lbl == t, kc_ref[0, t], thr)
-    lbl = jnp.where(best >= thr, lbl, ignore_label)
+    lbl = jnp.where(conf >= thr, lbl, ignore_label)
     lbl_ref[0] = lbl
-    conf_ref[0] = best
+    conf_ref[0] = conf
 
 
 def fused_pseudo_soft_cm(
@@ -111,6 +128,7 @@ def fused_pseudo_soft_cm(
     kc: Optional[jnp.ndarray],
     ignore_label: int = IGNORE_LABEL,
     interpret: bool = False,
+    conf_mode: str = "prob",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Soft-fusion pseudo-label pass on channel-major logits.
 
@@ -141,7 +159,7 @@ def fused_pseudo_soft_cm(
     in_specs.append(pl.BlockSpec((1, n_t), lambda i, j: (0, 0)))
     out_spec = pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0))
     lbl, conf = pl.pallas_call(
-        partial(_kernel, convs, n_t, ignore_label),
+        partial(_kernel, convs, n_t, ignore_label, conf_mode),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_spec, out_spec],

@@ -83,6 +83,8 @@ def resize_bilinear(
     rounding level), but the resulting XLA layouts differ and some call
     sites avoid a relayout copy with the swapped order.
     """
+    if order not in ("hw", "wh"):
+        raise ValueError(f"order must be 'hw' or 'wh', got {order!r}")
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]

@@ -47,6 +47,13 @@ def maybe_init_distributed() -> bool:
     coord = os.environ.get("MSPL_COORDINATOR")
     if not coord:
         return False
+    missing = [v for v in ("MSPL_NUM_PROCESSES", "MSPL_PROCESS_ID")
+               if v not in os.environ]
+    if missing:
+        raise RuntimeError(
+            "MSPL_COORDINATOR is set but required companion env var(s) "
+            f"{', '.join(missing)} are missing; a multi-host launch must set "
+            "all of MSPL_COORDINATOR, MSPL_NUM_PROCESSES, MSPL_PROCESS_ID")
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(os.environ["MSPL_NUM_PROCESSES"]),

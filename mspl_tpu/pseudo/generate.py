@@ -89,6 +89,57 @@ def convert_probs(probs: jnp.ndarray, conversion: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def entropy_confidence(dist: jnp.ndarray) -> jnp.ndarray:
+    """conf = 1 - H(dist)/ln(K) over the last axis (normalized anti-entropy).
+
+    `dist` is a probability distribution over K outcomes; the result lands in
+    [0, 1] (1 = one-hot certainty, 0 = uniform), so the CBST histogram /
+    quantile machinery (mspl_tpu/pseudo/cbst.py, bins over [0,1]) applies to
+    entropy confidences unchanged.
+    """
+    d = dist.astype(jnp.float32)
+    xlogx = jnp.where(d > 0, d * jnp.log(jnp.maximum(d, 1e-30)), 0.0)
+    h = -jnp.sum(xlogx, axis=-1)
+    k = dist.shape[-1]
+    return 1.0 - h / float(np.log(k))
+
+
+def _soft_epilogue(fused, t, conf_mode, ignore_label):
+    """(label, conf) from the averaged converted distribution [...,T+1]."""
+    target_probs = fused[..., :t]
+    label = jnp.argmax(target_probs, axis=-1).astype(jnp.int32)
+    if conf_mode == "entropy":
+        conf = entropy_confidence(fused)
+    else:
+        conf = jnp.max(target_probs, axis=-1)
+    return label, conf
+
+
+def _hard_epilogue(votes, n_models, min_agree, conf_mode, ignore_label):
+    """(label, conf) from summed one-hot votes [...,T]."""
+    label = jnp.argmax(votes, axis=-1).astype(jnp.int32)
+    top = jnp.max(votes, axis=-1)
+    need = min_agree if min_agree is not None else (n_models // 2 + 1)
+    if conf_mode == "entropy":
+        ig_votes = n_models - jnp.sum(votes, axis=-1, keepdims=True)
+        dist = jnp.concatenate([votes, ig_votes], axis=-1) / n_models
+        conf = entropy_confidence(dist)
+    else:
+        conf = top / n_models
+    label = jnp.where(top >= need, label, ignore_label)
+    return label, conf
+
+
+def _apply_kc(label, conf, kc, t, ignore_label):
+    if kc is None:
+        return label, conf
+    kc_arr = jnp.broadcast_to(jnp.asarray(kc, jnp.float32), (t,))
+    safe = jnp.where(label == ignore_label, 0, label)
+    thr = kc_arr[safe]
+    label = jnp.where(conf >= thr, label, ignore_label)
+    return label, conf
+
+
 def fused_pseudo_pass(
     logits_list: Sequence[jnp.ndarray],
     conversions: Sequence[jnp.ndarray],
@@ -97,6 +148,7 @@ def fused_pseudo_pass(
     num_target: Optional[int] = None,
     min_agree: Optional[int] = None,
     ignore_label: int = IGNORE_LABEL,
+    conf_mode: str = "prob",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fuse N per-model logit tensors into (pseudo_label, confidence).
 
@@ -108,10 +160,18 @@ def fused_pseudo_pass(
     mode 'hard': convert each model's argmax map; majority vote; disagreement
         (< min_agree, default strict majority) -> ignore; confidence =
         agreeing fraction.
+    conf_mode selects the confidence family of the reference's
+    "confidence/entropy thresholding" sentence (BASELINE.json:5):
+    'prob' = the max-probability confidences above; 'entropy' = normalized
+    anti-entropy 1 - H/ln(T+1) of the full fused target-space distribution
+    (soft: the averaged converted probabilities incl. the ignore column;
+    hard: the vote distribution with abstentions counted as ignore votes).
     Returns (label int32 [B,H,W] with ignore where thresholded, conf f32).
     """
     if len(logits_list) != len(conversions) or not logits_list:
         raise ValueError("need N>=1 matching logits/conversion pairs")
+    if conf_mode not in ("prob", "entropy"):
+        raise ValueError(f"unknown conf_mode '{conf_mode}'")
     n_models = len(logits_list)
     t = int(conversions[0].shape[1]) - 1
     if num_target is not None and num_target != t:
@@ -123,10 +183,8 @@ def fused_pseudo_pass(
             p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             q = convert_probs(p, mat)
             acc = q if acc is None else acc + q
-        fused = acc / n_models  # [B,H,W,T+1]
-        target_probs = fused[..., :t]
-        label = jnp.argmax(target_probs, axis=-1).astype(jnp.int32)
-        conf = jnp.max(target_probs, axis=-1)
+        label, conf = _soft_epilogue(acc / n_models, t, conf_mode,
+                                     ignore_label)
     elif mode == "hard":
         votes = None
         for logits, mat in zip(logits_list, conversions):
@@ -135,21 +193,12 @@ def fused_pseudo_pass(
             lab_m = jnp.argmax(q, axis=-1)  # may be t (=ignore column)
             onehot = jax.nn.one_hot(lab_m, t, dtype=jnp.float32)  # t -> all-zero
             votes = onehot if votes is None else votes + onehot
-        label = jnp.argmax(votes, axis=-1).astype(jnp.int32)
-        top = jnp.max(votes, axis=-1)
-        need = min_agree if min_agree is not None else (n_models // 2 + 1)
-        conf = top / n_models
-        label = jnp.where(top >= need, label, ignore_label)
+        label, conf = _hard_epilogue(votes, n_models, min_agree, conf_mode,
+                                     ignore_label)
     else:
         raise ValueError(f"unknown fusion mode '{mode}'")
 
-    if kc is not None:
-        kc_arr = jnp.broadcast_to(jnp.asarray(kc, jnp.float32), (t,))
-        safe = jnp.where(label == ignore_label, 0, label)
-        thr = kc_arr[safe]
-        label = jnp.where(conf >= thr, label, ignore_label)
-
-    return label, conf
+    return _apply_kc(label, conf, kc, t, ignore_label)
 
 
 def generate_pseudo_labels(
@@ -161,6 +210,7 @@ def generate_pseudo_labels(
     ignore_label: int = IGNORE_LABEL,
     use_pallas: bool = False,
     mesh=None,
+    conf_mode: str = "prob",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sweep a target-image loader; return (labels [N,H,W] int32,
     confidences [N,H,W] f32, indices [N]) for the whole set, in loader order.
@@ -169,26 +219,44 @@ def generate_pseudo_labels(
     program; only final uint8/float maps return to host memory.  With `mesh`,
     batches are sharded over the mesh `data` axis (data-parallel generation
     across the slice — SURVEY.md §3.2 hot loop, BASELINE.json:5 "pmap DP").
+
+    When the mesh also has a `model` axis of size M>1, the source networks
+    are placed ACROSS that axis (SURVEY.md §2 parallelism table
+    "source-model parallelism"): model-axis slice i runs sources[i::M] on
+    its local data shard (`lax.switch` on `axis_index('model')` — every
+    device executes only its own group's forwards) and the fusion reduction
+    is a `psum` over the `model` axis riding ICI.  Output is bit-identical
+    to the serial path; `use_pallas` is ignored here (the fused Pallas
+    kernels operate on all N logit stacks at once, which no longer exist on
+    any single device — the per-device epilogue is plain XLA, and the model
+    forward dominates the per-slice cost).
     """
     from mspl_tpu.data.transforms import normalize as default_normalize
 
     norm = normalize_fn or default_normalize
     conversions = [s.conversion for s in sources]
     kc_dev = None if kc is None else jnp.asarray(kc, jnp.float32)
+    if mode not in ("soft", "hard"):
+        raise ValueError(f"unknown fusion mode '{mode}'")
+
+    model_par = (mesh is not None and "model" in mesh.shape
+                 and mesh.shape["model"] > 1)
 
     channel_major = any(s.channel_major for s in sources)
     if channel_major and not all(s.channel_major for s in sources):
         raise ValueError("all sources must agree on channel_major")
-    if channel_major and mode != "soft":
+    if channel_major and mode != "soft" and not model_par:
         raise ValueError("channel_major sources support soft fusion only")
 
-    if channel_major:
+    if model_par:
+        pass_fn = None  # fusion is a cross-'model' collective, built below
+    elif channel_major:
         from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_soft_cm
 
         def pass_fn(logits_list):
             return fused_pseudo_soft_cm(
                 logits_list, conversions, kc=kc_dev,
-                ignore_label=ignore_label,
+                ignore_label=ignore_label, conf_mode=conf_mode,
             )
     elif use_pallas:
         from mspl_tpu.ops.pallas_pseudo import fused_pseudo_pass_pallas
@@ -196,13 +264,13 @@ def generate_pseudo_labels(
         def pass_fn(logits_list):
             return fused_pseudo_pass_pallas(
                 logits_list, conversions, mode=mode, kc=kc_dev,
-                ignore_label=ignore_label,
+                ignore_label=ignore_label, conf_mode=conf_mode,
             )
     else:
         def pass_fn(logits_list):
             return fused_pseudo_pass(
                 logits_list, conversions, mode=mode, kc=kc_dev,
-                ignore_label=ignore_label,
+                ignore_label=ignore_label, conf_mode=conf_mode,
             )
 
     # cast the normalized batch to the models' compute dtype ONCE — feeding
@@ -210,12 +278,55 @@ def generate_pseudo_labels(
     dtypes = {s.compute_dtype for s in sources if s.compute_dtype is not None}
     common_dtype = dtypes.pop() if len(dtypes) == 1 else None
 
-    def _pass(imgs8):
-        imgs = norm(imgs8)
-        if common_dtype is not None:
-            imgs = imgs.astype(common_dtype)
-        logits_list = [s.apply_fn(imgs) for s in sources]
-        return pass_fn(logits_list)
+    t = int(conversions[0].shape[1]) - 1
+    n_models = len(sources)
+
+    if model_par:
+        m_size = mesh.shape["model"]
+        groups = [list(sources[i::m_size]) for i in range(m_size)]
+
+        def _group_branch(srcs):
+            # partial fusion statistic for one model-axis slice: sum of
+            # converted probability maps (soft) / one-hot votes (hard)
+            def branch(x):
+                width = (t + 1) if mode == "soft" else t
+                acc = jnp.zeros(x.shape[:3] + (width,), jnp.float32)
+                for s in srcs:
+                    lg = s.apply_fn(x)
+                    if s.channel_major:
+                        lg = jnp.transpose(lg, (0, 2, 3, 1))
+                    p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+                    q = convert_probs(p, s.conversion)
+                    if mode == "soft":
+                        acc = acc + q
+                    else:
+                        lab_m = jnp.argmax(q, axis=-1)
+                        acc = acc + jax.nn.one_hot(lab_m, t, dtype=jnp.float32)
+                return acc
+            return branch
+
+        def _pass(imgs8):
+            imgs = norm(imgs8)
+            if common_dtype is not None:
+                imgs = imgs.astype(common_dtype)
+            midx = jax.lax.axis_index("model")
+            part = jax.lax.switch(
+                midx, [_group_branch(g) for g in groups], imgs)
+            total = jax.lax.psum(part, "model")
+            if mode == "soft":
+                label, conf = _soft_epilogue(total / n_models, t, conf_mode,
+                                             ignore_label)
+            else:
+                label, conf = _hard_epilogue(total, n_models, None, conf_mode,
+                                             ignore_label)
+            return _apply_kc(label, conf, kc_dev, t, ignore_label)
+    else:
+        def _pass(imgs8):
+            imgs = norm(imgs8)
+            if common_dtype is not None:
+                imgs = imgs.astype(common_dtype)
+            logits_list = [s.apply_fn(imgs) for s in sources]
+            return pass_fn(logits_list)
 
     if mesh is not None:
         # shard_map over the 'data' axis: each device runs the whole pass on

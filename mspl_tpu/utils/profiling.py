@@ -45,9 +45,15 @@ def device_sync(tree) -> None:
     threading its state) has finished, silently inflating throughput numbers
     ~20x in one measured case.  Fetching one element round-trips the runtime
     and is reliable.  Use this instead of ``block_until_ready`` when timing.
+
+    One element is fetched from EVERY leaf: leaves of the same tree may come
+    from separate dispatches, and fetching only the first would leave the
+    others in flight (outside this remote-TPU environment plain
+    ``jax.block_until_ready`` remains the simpler default).
     """
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    np.asarray(leaf.ravel()[0:1])
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[0:1])
 
 
 class StepTimer:

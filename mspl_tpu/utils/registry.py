@@ -76,6 +76,7 @@ MODEL_NAMES = ("espnetv2", "deeplabv3")
 SCHEDULER_NAMES = ("poly", "step", "cyclic", "hybrid", "linear", "fixed")
 
 FUSION_MODES = ("soft", "hard")
+CONF_MODES = ("prob", "entropy")  # confidence/entropy thresholding families
 
 
 def dataset_info(name: str) -> DatasetInfo:

@@ -22,15 +22,17 @@ def _setup(rng, b=2, h=8, w=16, n_models=3):
     return logits, convs
 
 
+@pytest.mark.parametrize("conf_mode", ["prob", "entropy"])
 @pytest.mark.parametrize("mode", ["soft", "hard"])
 @pytest.mark.parametrize("with_kc", [False, True])
-def test_pallas_matches_jnp(mode, with_kc):
+def test_pallas_matches_jnp(mode, with_kc, conf_mode):
     rng = np.random.default_rng(0)
     logits, convs = _setup(rng)
     kc = jnp.asarray([0.4, 0.6, 0.5], jnp.float32) if with_kc else None
-    ref_lab, ref_conf = fused_pseudo_pass(logits, convs, mode=mode, kc=kc)
+    ref_lab, ref_conf = fused_pseudo_pass(logits, convs, mode=mode, kc=kc,
+                                          conf_mode=conf_mode)
     lab, conf = fused_pseudo_pass_pallas(logits, convs, mode=mode, kc=kc,
-                                         interpret=True)
+                                         interpret=True, conf_mode=conf_mode)
     assert lab.shape == ref_lab.shape and conf.shape == ref_conf.shape
     np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
                                rtol=1e-5, atol=1e-6)

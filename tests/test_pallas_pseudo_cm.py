@@ -20,17 +20,20 @@ def _setup(rng, b=2, h=16, w=20):
     return logits, convs
 
 
+@pytest.mark.parametrize("conf_mode", ["prob", "entropy"])
 @pytest.mark.parametrize("with_kc", [True, False])
-def test_cm_kernel_matches_jnp(with_kc):
+def test_cm_kernel_matches_jnp(with_kc, conf_mode):
     rng = np.random.RandomState(0)
     logits, convs = _setup(rng)
     kc = jnp.asarray([0.4, 0.5, 0.6], jnp.float32) if with_kc else None
-    want_lbl, want_conf = fused_pseudo_pass(logits, convs, mode="soft", kc=kc)
+    want_lbl, want_conf = fused_pseudo_pass(logits, convs, mode="soft", kc=kc,
+                                            conf_mode=conf_mode)
     logits_cm = [jnp.transpose(x, (0, 3, 1, 2)) for x in logits]
-    got_lbl, got_conf = fused_pseudo_soft_cm(logits_cm, convs, kc)
+    got_lbl, got_conf = fused_pseudo_soft_cm(logits_cm, convs, kc,
+                                             conf_mode=conf_mode)
     np.testing.assert_array_equal(np.asarray(got_lbl), np.asarray(want_lbl))
     np.testing.assert_allclose(np.asarray(got_conf), np.asarray(want_conf),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_cm_resize_matches_nhwc_resize():

@@ -178,3 +178,76 @@ def test_histograms_device_accumulation():
     assert h.sum() == 2 * 8 * 8
     for c in range(4):
         assert h[c].sum() == int((np.asarray(lab) == c).sum())
+
+
+def test_entropy_confidence_matches_torch_oracle():
+    """Entropy thresholding family (BASELINE.json:5 "confidence/entropy
+    thresholding"): normalized anti-entropy of the fused T+1 distribution,
+    checked against an independent torch computation."""
+    import torch
+
+    rng = np.random.default_rng(8)
+    logits, convs = _setup(rng)
+    label, conf = fused_pseudo_pass(logits, convs, mode="soft",
+                                    conf_mode="entropy")
+    with torch.no_grad():
+        qs = []
+        for lg, m in zip(logits, convs):
+            t = torch.from_numpy(np.asarray(lg))
+            p = torch.softmax(t, dim=-1)
+            qs.append(p @ torch.from_numpy(np.asarray(m, np.float32)))
+        fused = torch.stack(qs).mean(0)  # [B,H,W,T+1]
+        h = -(fused * torch.log(fused.clamp_min(1e-30))).sum(-1)
+        t_conf = 1.0 - h / np.log(fused.shape[-1])
+        t_label = fused[..., :3].argmax(-1)
+    np.testing.assert_array_equal(np.asarray(label), t_label.numpy())
+    np.testing.assert_allclose(np.asarray(conf), t_conf.numpy(),
+                               rtol=2e-5, atol=2e-6)
+    assert (np.asarray(conf) >= -1e-6).all() and (np.asarray(conf) <= 1 + 1e-6).all()
+
+
+def test_entropy_threshold_monotone_in_tau():
+    rng = np.random.default_rng(9)
+    logits, convs = _setup(rng)
+    kept = []
+    for tau in (0.0, 0.2, 0.4, 0.6, 0.9):
+        lab, _ = fused_pseudo_pass(logits, convs, mode="soft",
+                                   conf_mode="entropy", kc=jnp.full((3,), tau))
+        kept.append(int((np.asarray(lab) != IGNORE_LABEL).sum()))
+    assert all(a >= b for a, b in zip(kept, kept[1:])), kept
+    assert kept[0] == np.prod((2, 8, 10))
+
+
+def test_entropy_hard_mode_vote_distribution():
+    ident = label_conversion_matrix("greenhouse")
+    big = 50.0
+
+    def mk(l0, l1):
+        x = np.full((1, 1, 2, 3), -big, np.float32)
+        for i, l in enumerate((l0, l1)):
+            x[0, 0, i, l] = big
+        return jnp.asarray(x)
+
+    # pixel 0 unanimous (entropy 0 -> conf 1), pixel 1 a 2/1 split
+    logits = [mk(2, 0), mk(2, 0), mk(2, 1)]
+    lab, conf = fused_pseudo_pass(logits, [ident] * 3, mode="hard",
+                                  conf_mode="entropy")
+    conf = np.asarray(conf)
+    assert conf[0, 0, 0] == pytest.approx(1.0, abs=1e-6)
+    # 2/3 vs 1/3 split over 4 outcomes (T=3 + ignore)
+    want = 1.0 - (-(2 / 3) * np.log(2 / 3) - (1 / 3) * np.log(1 / 3)) / np.log(4)
+    assert conf[0, 0, 1] == pytest.approx(want, abs=1e-6)
+    assert np.asarray(lab)[0, 0, 0] == 2
+
+
+def test_entropy_ordering_vs_prob():
+    """A peaked fused distribution must rank above a flat one in both
+    confidence families (sanity link between the two modes)."""
+    rng = np.random.default_rng(10)
+    logits, convs = _setup(rng)
+    _, c_prob = fused_pseudo_pass(logits, convs, mode="soft")
+    _, c_ent = fused_pseudo_pass(logits, convs, mode="soft",
+                                 conf_mode="entropy")
+    c_prob, c_ent = np.asarray(c_prob).ravel(), np.asarray(c_ent).ravel()
+    hi, lo = np.argmax(c_prob), np.argmin(c_prob)
+    assert c_ent[hi] > c_ent[lo]
