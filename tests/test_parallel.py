@@ -109,6 +109,75 @@ def test_sharded_pseudo_generation_matches_single_device():
     np.testing.assert_array_equal(idx1, idx2)
 
 
+def _hetero_sources(channel_major=False):
+    """Three deterministic 'models' with DIFFERENT source label spaces
+    (camvid 11 / cityscapes 19 / forest 5 classes) — the real multi-source
+    shape heterogeneity the model axis must handle."""
+    from mspl_tpu.data.label_space import label_conversion_matrix
+    from mspl_tpu.pseudo.generate import SourceModel
+
+    def mk(n_cls, scale, name, src):
+        def apply_fn(imgs):
+            planes = [imgs[..., c % 3] * ((c % 5) - 2.0) * scale
+                      for c in range(n_cls)]
+            out = jnp.stack(planes, axis=-1)
+            if channel_major:
+                out = jnp.transpose(out, (0, 3, 1, 2))
+            return out
+        return SourceModel(name, apply_fn, label_conversion_matrix(src),
+                           channel_major=channel_major)
+
+    return [mk(11, 1.0, "m_camvid", "camvid"),
+            mk(19, 0.7, "m_city", "cityscapes"),
+            mk(5, 1.3, "m_forest", "forest")]
+
+
+@pytest.mark.parametrize("mode", ["soft", "hard"])
+@pytest.mark.parametrize("model_axis", [2, 3])
+def test_model_axis_source_parallel_matches_serial(mode, model_axis):
+    """Sources placed ACROSS the 'model' mesh axis (slice i runs
+    sources[i::M], fusion = psum over the axis) must reproduce the serial
+    all-models-everywhere output exactly (VERDICT r1 item 3)."""
+    from mspl_tpu.data.datasets import SyntheticSegmentation
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.pseudo.generate import generate_pseudo_labels
+
+    sources = _hetero_sources()
+    ds = SyntheticSegmentation(num_classes=3, size_wh=(16, 16), length=8,
+                               seed=21, unlabeled=True)
+    lab1, conf1, idx1 = generate_pseudo_labels(
+        sources, DataLoader(ds, batch_size=4), mode=mode,
+        kc=np.asarray([0.3, 0.5, 0.4], np.float32))
+    data_axis = 8 // model_axis if 8 % model_axis == 0 else 2
+    mesh = make_mesh(model=model_axis, data=data_axis)
+    lab2, conf2, idx2 = generate_pseudo_labels(
+        sources, DataLoader(ds, batch_size=4), mode=mode,
+        kc=np.asarray([0.3, 0.5, 0.4], np.float32), mesh=mesh)
+    np.testing.assert_array_equal(lab1, lab2)
+    np.testing.assert_allclose(conf1, conf2, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(idx1, idx2)
+
+
+def test_model_axis_channel_major_sources():
+    """Channel-major sources work across the model axis (the in-branch
+    transpose replaces the fused cm kernel)."""
+    from mspl_tpu.data.datasets import SyntheticSegmentation
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.pseudo.generate import generate_pseudo_labels
+
+    serial = _hetero_sources(channel_major=False)
+    cm = _hetero_sources(channel_major=True)
+    ds = SyntheticSegmentation(num_classes=3, size_wh=(16, 16), length=8,
+                               seed=22, unlabeled=True)
+    lab1, conf1, _ = generate_pseudo_labels(
+        serial, DataLoader(ds, batch_size=4), mode="soft")
+    mesh = make_mesh(model=2)
+    lab2, conf2, _ = generate_pseudo_labels(
+        cm, DataLoader(ds, batch_size=4), mode="soft", mesh=mesh)
+    np.testing.assert_array_equal(lab1, lab2)
+    np.testing.assert_allclose(conf1, conf2, rtol=1e-6, atol=1e-7)
+
+
 def test_sharded_cm_pseudo_generation_matches_single_device():
     """Channel-major (fused-kernel-path) generation under a 'data' mesh ==
     unsharded: the shard_map wrapper must hand the Pallas pass local
