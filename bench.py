@@ -1,18 +1,21 @@
 """Headline benchmark: pseudo-label generation images/sec/chip
 (BASELINE.json:2 primary metric).
 
-Workload = BASELINE.json config #3 shape: three ESPNetv2 (s=2.0) source
-models (CamVid 11, Cityscapes 19, Forest 5 classes) run over greenhouse-sized
-target batches (480x256), per-pixel softmax -> label-space conversion ->
-soft fusion -> class-balanced thresholding, all in one jitted pass
-(SURVEY.md §3.2 hot loop).  Models run in bfloat16 (MXU), fusion in fp32.
+Workload = BASELINE.json config #3, the FULL per-batch pseudo workload
+(SURVEY.md §3.2 hot loop — VERDICT r1 item 6): uint8 target batch ->
+device-side mean/std normalization -> three ESPNetv2 (s=2.0, bf16) source
+models (CamVid 11, Cityscapes 19, Forest 5 classes) at 480x256 -> fused
+softmax -> label-space conversion -> soft fusion -> kc threshold -> per-class
+CBST confidence-histogram accumulation, all in ONE jitted program per batch.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference recorded no published numbers (BASELINE.md: "none recorded");
-per BASELINE.md the first measured number becomes the operative baseline.
-RECORDED_BASELINE below is that round-1 measurement on one v5e chip —
-vs_baseline therefore tracks improvement across rounds.
+vs_baseline is anchored to the REFERENCE-EQUIVALENT pipeline on the same
+chip (VERDICT r1 item 5): a straight fp32/NHWC/unfused port of the
+reference's per-batch loop measured by bench_anchor.py (jnp_naive mode).
+The literal torch-CPU reference pipeline is also recorded in BASELINE.md
+("Anchors") — this container has 1 CPU core, so that number carries a
+hardware caveat and is not used as the divisor.
 """
 
 import json
@@ -20,13 +23,17 @@ import time
 
 import numpy as np
 
-# round-1 recorded measurement (images/sec/chip on TPU v5e, this script):
-# 3x ESPNetv2(s=2.0) bf16 @ 256x480, soft fusion + kc, batch 128.
-# (batch sweep r1: 8->78.6, 16->142, 32->189, 64->286, 128->438.9, 256->439)
-RECORDED_BASELINE = 438.9  # r1 measurement, lax path, batch 128
+# Anchors (see BASELINE.md "Anchors"; re-measure with bench_anchor.py):
+#   reference-equivalent straight port on this chip (fp32, NHWC, unfused,
+#   one dispatch per model) — measured r2 on TPU v5e-1:
+JNP_NAIVE_ANCHOR = 254.7
+#   round-1 first-draft fused-jnp measurement (historical, for continuity
+#   with BENCH_r01.json whose vs_baseline divided by this):
+R1_RECORDED = 438.9
 
 BATCH = 128
 HW = (256, 480)  # greenhouse canonical H, W (SURVEY registry: 480x256 WxH)
+NUM_TARGET = 3
 WARMUP = 3
 ITERS = 12  # ~1.5 s of steady state; 5 iters showed ±2% run-to-run noise
 
@@ -42,8 +49,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mspl_tpu.data.label_space import label_conversion_matrix
+    from mspl_tpu.data.transforms import normalize
     from mspl_tpu.models import ESPNetv2Segmentation, init_model
     from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_soft_cm
+    from mspl_tpu.pseudo.cbst import class_confidence_histograms
 
     rng = jax.random.PRNGKey(0)
     sources = []
@@ -56,18 +65,22 @@ def main():
         variables = init_model(model, HW, rng=jax.random.fold_in(rng, classes))
         sources.append((model, variables, label_conversion_matrix(name)))
 
-    kc = jnp.asarray(np.full(3, 0.5, np.float32))
+    kc = jnp.asarray(np.full(NUM_TARGET, 0.5, np.float32))
     mats = [c for _, _, c in sources]
 
     @jax.jit
-    def pseudo_batch(imgs):
+    def pseudo_batch(imgs_u8):
+        # full workload: normalize (device-side, as the real loader path
+        # does) -> single bf16 cast -> 3 forwards -> fused pass -> CBST
+        # histogram accumulation for the next round's kc
+        imgs = normalize(imgs_u8).astype(jnp.bfloat16)
         logits = [m.apply(v, imgs, train=False) for m, v, _ in sources]
-        return fused_pseudo_soft_cm(logits, mats, kc=kc)
+        lab, conf = fused_pseudo_soft_cm(logits, mats, kc=kc)
+        hist = class_confidence_histograms(lab, conf, NUM_TARGET)
+        return lab, conf, hist
 
-    # cast once on the host side: feeding fp32 makes each of the three
-    # models run its own f32->bf16 convert over the full batch
-    imgs = jax.device_put(
-        jax.random.normal(rng, (BATCH, *HW, 3)).astype(jnp.bfloat16))
+    imgs_u8 = jax.device_put(jax.random.randint(
+        rng, (BATCH, *HW, 3), 0, 256, dtype=jnp.int32).astype(jnp.uint8))
 
     # warmup / compile.  Syncs use a 1-element host fetch, not
     # block_until_ready: the latter can return early through the remote-TPU
@@ -76,24 +89,25 @@ def main():
     from mspl_tpu.utils.profiling import device_sync
 
     for _ in range(WARMUP):
-        lab, conf = pseudo_batch(imgs)
-    device_sync(lab)
+        lab, conf, hist = pseudo_batch(imgs_u8)
+    device_sync((lab, hist))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        lab, conf = pseudo_batch(imgs)
-    device_sync(lab)
+        lab, conf, hist = pseudo_batch(imgs_u8)
+    device_sync((lab, hist))
     dt = time.perf_counter() - t0
 
     n_chips = max(jax.device_count(), 1)
     images_per_sec_per_chip = BATCH * ITERS / dt / n_chips
-    vs = (images_per_sec_per_chip / RECORDED_BASELINE
-          if RECORDED_BASELINE else 1.0)
     print(json.dumps({
         "metric": "pseudo_label_gen_images_per_sec_per_chip",
         "value": round(images_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(images_per_sec_per_chip / JNP_NAIVE_ANCHOR, 3),
+        "baseline_anchor": "reference-equivalent straight port on same chip "
+                           f"({JNP_NAIVE_ANCHOR} img/s, bench_anchor.py)",
+        "vs_r1_first_draft": round(images_per_sec_per_chip / R1_RECORDED, 3),
     }))
 
 

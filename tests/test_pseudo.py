@@ -180,6 +180,24 @@ def test_histograms_device_accumulation():
         assert h[c].sum() == int((np.asarray(lab) == c).sum())
 
 
+def test_histogram_matmul_path_matches_scatter():
+    """The MXU two-level one-hot histogram (used for large inputs on TPU)
+    must equal the scatter-add path bit-for-bit."""
+    from mspl_tpu.pseudo.cbst import class_confidence_histograms
+
+    rng = np.random.default_rng(17)
+    lab = rng.integers(0, 4, (3, 200, 200)).astype(np.int32)
+    lab[lab == 3] = IGNORE_LABEL
+    conf = rng.uniform(0, 1, lab.shape).astype(np.float32)
+    # include exact bin-edge values (conf*bins integer) to pin flooring
+    conf.ravel()[:100] = np.linspace(0, 1, 100)
+    args = (jnp.asarray(lab), jnp.asarray(conf), 3, 4096)
+    h_scatter = class_confidence_histograms(*args)
+    h_matmul = class_confidence_histograms(*args, force_matmul=True)
+    np.testing.assert_array_equal(np.asarray(h_scatter),
+                                  np.asarray(h_matmul))
+
+
 def test_entropy_confidence_matches_torch_oracle():
     """Entropy thresholding family (BASELINE.json:5 "confidence/entropy
     thresholding"): normalized anti-entropy of the fused T+1 distribution,

@@ -1,0 +1,61 @@
+"""END-TO-END fp32 parity: flax ESPNetv2Segmentation vs the
+reference-equivalent torch model (mspl_tpu/oracle/torch_espnetv2.py).
+
+This is the whole-model version of the per-op oracle tests in
+tests/test_layers.py — one weight transplant, one forward each way,
+logits compared (BASELINE.json:5 "mIoU parity with the PyTorch reference
+at fp32" is enforced structurally through this plus the op tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mspl_tpu.models import ESPNetv2Segmentation, init_model
+from mspl_tpu.oracle.torch_espnetv2 import (
+    TESPNetv2Segmentation,
+    load_from_flax,
+)
+
+
+def _randomize_stats(variables, seed=0):
+    """Perturb every 1-D leaf (BN scale/bias/stats, PReLU alphas) so the
+    transplant test can't pass with identity-looking defaults."""
+    rng = np.random.default_rng(seed)
+
+    def perturb(path, leaf):
+        a = np.asarray(leaf)
+        if a.ndim != 1:
+            return leaf
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.5, 1.5, a.shape), jnp.float32)
+        return jnp.asarray(
+            a + rng.normal(0.0, 0.1, a.shape).astype(np.float32))
+
+    return jax.tree_util.tree_map_with_path(perturb, variables)
+
+
+@pytest.mark.parametrize("s,classes", [(0.5, 11), (1.0, 5)])
+def test_e2e_logits_parity(s, classes):
+    model = ESPNetv2Segmentation(num_classes=classes, s=s, dec_base_planes=8)
+    variables = init_model(model, (64, 96))
+    variables = _randomize_stats(variables)
+
+    tmodel = TESPNetv2Segmentation(num_classes=classes, s=s,
+                                   dec_base_planes=8)
+    load_from_flax(tmodel, variables)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (2, 64, 96, 3)).astype(np.float32)
+    flax_logits = np.asarray(model.apply(variables, jnp.asarray(x),
+                                         train=False))
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    t_logits = t_logits.permute(0, 2, 3, 1).numpy()
+
+    assert flax_logits.shape == t_logits.shape
+    np.testing.assert_allclose(flax_logits, t_logits, rtol=2e-3, atol=5e-3)
+    agree = (flax_logits.argmax(-1) == t_logits.argmax(-1)).mean()
+    assert agree > 0.999, f"argmax agreement {agree}"
