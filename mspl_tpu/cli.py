@@ -299,14 +299,14 @@ def cmd_eval(args) -> Dict:
     return {"iou": iou, "miou": miou}
 
 
-def _load_sources(ckpts, num_target: int, fusion: str = "soft"):
+def _load_sources(ckpts, num_target: int):
     import jax
 
     from mspl_tpu.pseudo.generate import make_source
 
-    # channel-major logits feed the fused Pallas pass (soft mode, TPU) —
-    # strictly faster there, pointless on the CPU/interpret path
-    channel_major = fusion == "soft" and jax.default_backend() != "cpu"
+    # channel-major logits feed the fused Pallas pass (soft AND hard modes,
+    # TPU) — strictly faster there, pointless on the CPU/interpret path
+    channel_major = jax.default_backend() != "cpu"
     sources = []
     for c in ckpts:
         model, variables, meta = load_model_checkpoint(c)
@@ -327,7 +327,7 @@ def cmd_pseudo(args) -> Dict:
 
     info = dataset_info("greenhouse")
     t = info.num_classes
-    sources = _load_sources(args.checkpoints, t, fusion=args.fusion)
+    sources = _load_sources(args.checkpoints, t)
     ds = GreenhouseRGBD(args.data_root, args.target_list,
                         size_wh=tuple(args.size) if args.size else None)
     loader = DataLoader(ds, args.batch_size)
@@ -384,7 +384,7 @@ def cmd_selftrain(args) -> Dict:
 
     info = dataset_info("greenhouse")
     t = info.num_classes
-    sources = _load_sources(args.checkpoints, t, fusion=args.fusion)
+    sources = _load_sources(args.checkpoints, t)
     size_wh = tuple(args.size) if args.size else None
     target_ds = GreenhouseRGBD(args.data_root, args.target_list,
                                size_wh=size_wh)

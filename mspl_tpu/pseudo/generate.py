@@ -245,17 +245,15 @@ def generate_pseudo_labels(
     channel_major = any(s.channel_major for s in sources)
     if channel_major and not all(s.channel_major for s in sources):
         raise ValueError("all sources must agree on channel_major")
-    if channel_major and mode != "soft" and not model_par:
-        raise ValueError("channel_major sources support soft fusion only")
 
     if model_par:
         pass_fn = None  # fusion is a cross-'model' collective, built below
     elif channel_major:
-        from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_soft_cm
+        from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_cm
 
         def pass_fn(logits_list):
-            return fused_pseudo_soft_cm(
-                logits_list, conversions, kc=kc_dev,
+            return fused_pseudo_cm(
+                logits_list, conversions, kc=kc_dev, mode=mode,
                 ignore_label=ignore_label, conf_mode=conf_mode,
             )
     elif use_pallas:

@@ -36,6 +36,26 @@ def test_cm_kernel_matches_jnp(with_kc, conf_mode):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("conf_mode", ["prob", "entropy"])
+@pytest.mark.parametrize("min_agree", [None, 3])
+def test_cm_kernel_hard_matches_jnp(min_agree, conf_mode):
+    from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_cm
+
+    rng = np.random.RandomState(3)
+    logits, convs = _setup(rng)
+    kc = jnp.asarray([0.4, 0.5, 0.6], jnp.float32)
+    want_lbl, want_conf = fused_pseudo_pass(
+        logits, convs, mode="hard", kc=kc, min_agree=min_agree,
+        conf_mode=conf_mode)
+    logits_cm = [jnp.transpose(x, (0, 3, 1, 2)) for x in logits]
+    got_lbl, got_conf = fused_pseudo_cm(
+        logits_cm, convs, kc, mode="hard", min_agree=min_agree,
+        conf_mode=conf_mode)
+    np.testing.assert_array_equal(np.asarray(got_lbl), np.asarray(want_lbl))
+    np.testing.assert_allclose(np.asarray(got_conf), np.asarray(want_conf),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_cm_resize_matches_nhwc_resize():
     from mspl_tpu.ops.resize import resize_bilinear, resize_bilinear_to_cm
 
