@@ -62,12 +62,13 @@ def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
     info = dataset_info(meta["dataset"]) if meta.get("dataset") in SEGMENTATION_DATASETS else None
     hw = meta.get("input_hw") or (
         (info.size_wh[1], info.size_wh[0]) if info else (256, 480))
-    target = init_model(model, tuple(hw))
+    target = init_model(model, tuple(hw),
+                        channels=int(meta.get("in_channels", 3)))
     variables, _ = load_checkpoint(path, target)
     return model, variables, meta
 
 
-def _print_model_card(model, variables, shape_hw) -> None:
+def _print_model_card(model, variables, shape_hw, channels: int = 3) -> None:
     """Build-time model card (the reference prints FLOPs/params at model
     build — SURVEY.md §5 'Tracing / profiling')."""
     import jax.numpy as jnp
@@ -77,7 +78,7 @@ def _print_model_card(model, variables, shape_hw) -> None:
     n_params = model_parameters(variables["params"])
     flops = estimate_flops(
         lambda v, x: model.apply(v, x, train=False),
-        variables, jnp.zeros((1, *shape_hw, 3), jnp.float32))
+        variables, jnp.zeros((1, *shape_hw, channels), jnp.float32))
     msg = f"model: {n_params / 1e6:.3f} M params"
     if flops:
         msg += f", {flops / 1e9:.3f} GFLOPs @ {shape_hw[1]}x{shape_hw[0]}"
@@ -103,7 +104,14 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations in the backward "
                         "(jax.checkpoint) to fit larger batch x crop in HBM")
+    p.add_argument("--rgbd", action="store_true",
+                   help="greenhouse RGB-D: lists are 'rgb depth [label]', "
+                        "the model stem takes 4 channels")
     p.add_argument("--ckpt-dir", default="./runs/ckpt")
+    p.add_argument("--ckpt-every-steps", type=int, default=0,
+                   help="also checkpoint every N optimizer steps mid-epoch "
+                        "(preemption-grade; --resume re-enters the epoch at "
+                        "the exact step)")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -120,10 +128,11 @@ def cmd_train(args) -> Dict:
 
     info = dataset_info(args.dataset)
     size_wh = tuple(args.size) if args.size else None
+    use_depth = getattr(args, "rgbd", False)
     train_ds = build_dataset(args.dataset, args.data_root, args.train_list,
-                             size_wh=size_wh)
+                             size_wh=size_wh, use_depth=use_depth)
     val_ds = (build_dataset(args.dataset, args.data_root, args.val_list,
-                            size_wh=size_wh)
+                            size_wh=size_wh, use_depth=use_depth)
               if args.val_list else None)
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               seed=args.seed)
@@ -135,8 +144,9 @@ def cmd_train(args) -> Dict:
         args.model, num_classes=info.num_classes, s=args.s,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    variables = init_model(model, train_ds.shape_hw)
-    _print_model_card(model, variables, train_ds.shape_hw)
+    in_ch = getattr(train_ds, "channels", 3)
+    variables = init_model(model, train_ds.shape_hw, channels=in_ch)
+    _print_model_card(model, variables, train_ds.shape_hw, channels=in_ch)
 
     if getattr(args, "pretrained_encoder", None):
         from mspl_tpu.engine.train_cls import load_pretrained_encoder
@@ -172,6 +182,7 @@ def cmd_train(args) -> Dict:
         weight_decay=args.weight_decay, seed=args.seed,
         ckpt_dir=args.ckpt_dir, log_dir=args.log_dir, resume=args.resume,
         remat=getattr(args, "remat", False),
+        ckpt_every_steps=getattr(args, "ckpt_every_steps", 0),
     )
     res = train_segmentation(model, variables, train_loader, val_loader,
                              info.num_classes, cfg,
@@ -184,7 +195,7 @@ def cmd_train(args) -> Dict:
         {"params": state.params, "batch_stats": state.batch_stats},
         {"dataset": args.dataset, "model": args.model, "s": args.s,
          "num_classes": info.num_classes, "bf16": args.bf16,
-         "input_hw": list(train_ds.shape_hw),
+         "input_hw": list(train_ds.shape_hw), "in_channels": in_ch,
          "best_miou": res["best_miou"]},
     )
     print_info_message(f"train done; best val mIoU {res['best_miou']:.4f}")

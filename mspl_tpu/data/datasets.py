@@ -113,6 +113,10 @@ class SegmentationDataset:
     def num_classes(self) -> int:
         return self.info.num_classes
 
+    @property
+    def channels(self) -> int:
+        return 4 if getattr(self, "use_depth", False) else 3
+
     def _convert_raw_label(self, label: np.ndarray) -> np.ndarray:
         return label
 
@@ -182,10 +186,63 @@ class FreiburgForestSegmentation(SegmentationDataset):
 
 class GreenhouseRGBD(SegmentationDataset):
     """Target-domain dataset; labels are optional (unlabeled target images)
-    or pseudo-label PNGs produced by the pseudo-label engine."""
+    or pseudo-label PNGs produced by the pseudo-label engine.
 
-    def __init__(self, root: str, list_file: str, size_wh=None):
+    ``use_depth=True`` ingests the reference's RGB-D form (SURVEY.md §2
+    "Greenhouse RGB(-D)"): list lines are ``rgb depth [label]`` and
+    ``load`` returns a uint8 [H, W, 4] image whose 4th channel is the
+    depth map (8-bit PNG, or the high byte of a 16-bit PNG via the
+    decoders' uint8 conversion).  The model consumes it by initializing
+    with ``channels=4`` (the stem conv and the RGB-reinforcement pyramid
+    are channel-count agnostic)."""
+
+    def __init__(self, root: str, list_file: str, size_wh=None,
+                 use_depth: bool = False):
         super().__init__(dataset_info("greenhouse"), root, list_file, size_wh)
+        self.use_depth = use_depth
+        if use_depth:
+            # re-parse: column 2 is the depth map, column 3 the label
+            self.depth_paths = []
+            fixed = []
+            with open(list_file) as f:
+                rows = [ln.split() for ln in f
+                        if ln.strip() and not ln.startswith("#")]
+            for parts in rows:
+                if len(parts) < 2:
+                    raise ValueError(
+                        "use_depth=True needs 'rgb depth [label]' lines")
+                img, dep = parts[0], parts[1]
+                lab = parts[2] if len(parts) > 2 else None
+                to_abs = lambda p: (p if os.path.isabs(p)
+                                    else os.path.join(self.root, p))
+                fixed.append((to_abs(img), to_abs(lab) if lab else None))
+                self.depth_paths.append(to_abs(dep))
+            self.pairs = fixed
+
+    def load(self, i: int):
+        img, lab = super().load(i)
+        if not self.use_depth:
+            return img, lab
+        depth = _load_label(self.depth_paths[i], self.size_wh)
+        return np.concatenate([img, depth[..., None]], axis=-1), lab
+
+    def load_batch(self, indices):
+        if not self.use_depth:
+            return super().load_batch(indices)
+        imgs, labs = super().load_batch(indices)
+        from mspl_tpu.data import native_io
+
+        dpaths = [self.depth_paths[int(i)] for i in indices]
+        h, w = self.shape_hw
+        if native_io.available() and all(
+                p.lower().endswith(".png") for p in dpaths):
+            depth = native_io.decode_png_batch(dpaths, (h, w), channels=1,
+                                               bilinear=True)
+            if depth.ndim == 4:
+                depth = depth[..., 0]
+        else:
+            depth = np.stack([_load_label(p, self.size_wh) for p in dpaths])
+        return np.concatenate([imgs, depth[..., None]], axis=-1), labs
 
 
 class ClassificationListDataset:
@@ -275,7 +332,8 @@ class SyntheticSegmentation:
         return img, label
 
 
-def build_dataset(name: str, root: str, list_file: str, size_wh=None):
+def build_dataset(name: str, root: str, list_file: str, size_wh=None,
+                  use_depth: bool = False):
     ctor = {
         "camvid": CamVidSegmentation,
         "cityscapes": CityscapesSegmentation,
@@ -284,4 +342,8 @@ def build_dataset(name: str, root: str, list_file: str, size_wh=None):
     }
     if name not in ctor:
         raise ValueError(f"unknown dataset '{name}'; have {sorted(ctor)}")
+    if use_depth:
+        if name != "greenhouse":
+            raise ValueError("use_depth is only supported for greenhouse")
+        return GreenhouseRGBD(root, list_file, size_wh, use_depth=True)
     return ctor[name](root, list_file, size_wh)

@@ -24,11 +24,14 @@ GREENHOUSE_PALETTE = np.asarray(
 
 
 def save_label_png(label: np.ndarray, path: str) -> None:
-    """Save an integer label map (255=ignore) as an 8-bit grayscale PNG."""
-    from PIL import Image
+    """Save an integer label map (255=ignore) as an 8-bit grayscale PNG.
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(label.astype(np.uint8), mode="L").save(path)
+    Uses the native C++ encoder (native/mspl_io.cc) when the library is
+    built — the path `cmd_pseudo` and self-training round dumps hit per
+    image — with a PIL fallback."""
+    from mspl_tpu.data.native_io import encode_png
+
+    encode_png(path, label.astype(np.uint8))
 
 
 def load_label_png(path: str) -> np.ndarray:
@@ -52,10 +55,9 @@ def colorize_label(
 
 def save_colorized_png(label: np.ndarray, path: str,
                        palette: np.ndarray = GREENHOUSE_PALETTE) -> None:
-    from PIL import Image
+    from mspl_tpu.data.native_io import encode_png
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(colorize_label(label, palette)).save(path)
+    encode_png(path, colorize_label(label, palette))
 
 
 def write_train_list(

@@ -82,6 +82,13 @@ class DataLoader:
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_batches()
+
+    def iter_batches(self, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate this epoch's batches, optionally skipping the first
+        `start_batch` without decoding them (mid-epoch preemption resume:
+        the order is a pure function of seed+epoch, so a resumed process
+        that sets `loader.epoch` sees the identical sequence)."""
         order = self._order()
         self.epoch += 1
         bs = self.batch_size
@@ -91,7 +98,7 @@ class DataLoader:
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for b in range(n_batches):
+                for b in range(start_batch, n_batches):
                     if stop.is_set():
                         return
                     chunk = order[b * bs: (b + 1) * bs]

@@ -36,10 +36,18 @@ def normalize(
     mean: Tuple[float, float, float] = IMAGENET_MEAN,
     std: Tuple[float, float, float] = IMAGENET_STD,
 ) -> jnp.ndarray:
-    """uint8/float [..,3] image in [0,255] → normalized float32."""
+    """uint8/float [..,C] image in [0,255] → normalized float32.
+
+    Channels beyond len(mean) (e.g. the RGB-D depth channel) are normalized
+    with mean 0.5 / std 0.5, mapping [0,255] → [-1, 1]."""
     img = img.astype(jnp.float32) / 255.0
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
+    c = img.shape[-1]
+    if c > mean.shape[0]:
+        extra = c - mean.shape[0]
+        mean = jnp.concatenate([mean, jnp.full((extra,), 0.5, jnp.float32)])
+        std = jnp.concatenate([std, jnp.full((extra,), 0.5, jnp.float32)])
     return (img - mean) / std
 
 

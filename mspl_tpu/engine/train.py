@@ -192,6 +192,12 @@ class TrainLoopConfig:
     augment: bool = True
     remat: bool = False
     verbose: bool = True
+    # preemption-grade checkpointing (SURVEY.md §5 failure-recovery row:
+    # "Checkpoint-every-N-steps + auto-resume"): 0 = per-epoch only
+    ckpt_every_steps: int = 0
+    # hard stop after N optimizer steps (test hook for kill-and-resume;
+    # also useful for step-bounded jobs)
+    max_steps: Optional[int] = None
 
 
 def train_segmentation(
@@ -217,13 +223,23 @@ def train_segmentation(
     tx = build_optimizer(cfg.optimizer, schedule, cfg.momentum, cfg.weight_decay)
     state = create_train_state(model, variables, tx)
 
-    start_epoch, best_miou = 0, -1.0
+    start_epoch, start_step_in_epoch, best_miou = 0, 0, -1.0
     if cfg.resume and cfg.ckpt_dir and has_checkpoint(cfg.ckpt_dir):
         state, meta = load_checkpoint(cfg.ckpt_dir, state)
-        start_epoch = int(meta.get("epoch", 0)) + 1
+        ck_epoch = int(meta.get("epoch", 0))
+        sie = int(meta.get("step_in_epoch", 0))
         best_miou = float(meta.get("best_miou", -1.0))
-        print_info_message(f"resumed from epoch {start_epoch - 1}, "
-                           f"best mIoU {best_miou:.4f}")
+        if 0 < sie < steps_per_epoch:
+            # mid-epoch (preemption) checkpoint: re-enter the same epoch at
+            # the recorded batch; the loader order is a pure function of
+            # seed+epoch so the remaining sequence is identical
+            start_epoch, start_step_in_epoch = ck_epoch, sie
+            print_info_message(f"resumed mid-epoch {ck_epoch} at step {sie}, "
+                               f"best mIoU {best_miou:.4f}")
+        else:
+            start_epoch = ck_epoch + 1
+            print_info_message(f"resumed from epoch {ck_epoch}, "
+                               f"best mIoU {best_miou:.4f}")
 
     state = replicate(state, mesh)
     train_step = make_train_step(
@@ -233,21 +249,43 @@ def train_segmentation(
     )
     eval_step = make_eval_step(model, num_classes)
     logger = ScalarLogger(cfg.log_dir)
+    # per-step rng is fold_in(base, global_step): a resumed process
+    # reproduces the uninterrupted run's augmentation stream exactly
     rng = jax.random.PRNGKey(cfg.seed)
     history = []
-    step_i = start_epoch * steps_per_epoch
+    stopped = False
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         losses = []
-        for batch in train_loader:
+        # pin the loader's epoch so shuffle order survives resume (the
+        # counter otherwise restarts at 0 in a fresh process)
+        train_loader.epoch = epoch
+        skip = start_step_in_epoch if epoch == start_epoch else 0
+        batches = (train_loader.iter_batches(skip)
+                   if hasattr(train_loader, "iter_batches")
+                   else train_loader)
+        for b, batch in enumerate(batches, start=skip):
+            step_i = epoch * steps_per_epoch + b
             batch = shard_batch(batch, mesh)
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(rng, step_i)
             state, metrics = train_step(state, batch, sub)
             losses.append(metrics["loss"])
-            step_i += 1
+            done_in_epoch = b + 1
+            if (cfg.ckpt_every_steps and cfg.ckpt_dir
+                    and done_in_epoch < steps_per_epoch
+                    and done_in_epoch % cfg.ckpt_every_steps == 0):
+                save_checkpoint(
+                    cfg.ckpt_dir, state,
+                    {"epoch": epoch, "step_in_epoch": done_in_epoch,
+                     "best_miou": best_miou})
+            if cfg.max_steps is not None and step_i + 1 >= cfg.max_steps:
+                stopped = True
+                break
+        if stopped:
+            break
         mean_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else 0.0
-        lr_now = float(schedule(step_i))
+        lr_now = float(schedule((epoch + 1) * steps_per_epoch))
         logger.add_scalar("train/loss", mean_loss, epoch)
         logger.add_scalar("train/lr", lr_now, epoch)
 

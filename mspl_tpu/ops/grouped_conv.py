@@ -40,6 +40,14 @@ import jax.numpy as jnp
 
 Pair = Tuple[int, int]
 
+# When False, grouped (non-depthwise) convs lower with the native
+# feature_group_count path instead of block-diagonal densification.  The
+# native path is far slower to EXECUTE on this stack (see header), but its
+# XLA cost analysis counts only useful FLOPs — utils/profiling.estimate_flops
+# flips this during lowering (never execution) so model cards don't
+# overstate grouped-layer FLOPs by the group factor.
+DENSIFY_GROUPED = True
+
 
 def _out_size(size: int, pad: int, k: int, stride: int, dilation: int) -> int:
     eff = dilation * (k - 1) + 1
@@ -82,6 +90,12 @@ def grouped_conv2d(
         dilation[0] * (kh - 1) // 2, dilation[1] * (kw - 1) // 2)
     depthwise = cin_g == 1 and cout_g == 1
 
+    if not depthwise and not DENSIFY_GROUPED:
+        return jax.lax.conv_general_dilated(
+            x, kernel, stride, [(ph, ph), (pw, pw)], rhs_dilation=dilation,
+            feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if not depthwise:
         # Densify: grouped conv == dense conv with a block-diagonal kernel.
         # Wastes a factor-G of (cheap, MXU-riding) FLOPs but takes XLA's

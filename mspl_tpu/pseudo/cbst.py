@@ -9,8 +9,11 @@ accumulate fixed-size per-class confidence *histograms* on device (a
 scatter-add that GSPMD reduces over the `data` mesh axis with one psum — the
 same trick as the mIoU confusion matrix) and take the quantile on the tiny
 [T, bins] array (SURVEY.md §7 "Per-class quantile thresholds on device").
-With the default 4096 bins the kc quantization error is < 2.5e-4 of
-confidence, far inside mIoU tolerance.
+With the default 1024 bins the kc quantization error is < 1e-3 of
+confidence, far inside mIoU tolerance.  (4096 bins measured 9.8 ms/batch on
+the bench workload vs 5.9 ms at 1024 with the unrolled loop below — the op
+is bound by one-hot materialization, whose bytes scale with
+n_coarse + n_fine*T, not by MXU FLOPs.)
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ import numpy as np
 
 from mspl_tpu.utils.registry import IGNORE_LABEL
 
-DEFAULT_BINS = 4096
+DEFAULT_BINS = 1024
 
 
 def class_confidence_histograms(
@@ -45,11 +48,14 @@ def class_confidence_histograms(
     CONTRACTION on the MXU instead: split the bin index into coarse (64) x
     fine (bins/64) digits, build per-chunk one-hot matrices A[p, coarse]
     (validity-masked) and B[p, fine*T + class], and accumulate A^T @ B over
-    pixel chunks with a `lax.scan`; hist[c, coarse*F + fine] is then a
+    unrolled pixel chunks; hist[c, coarse*F + fine] is then a
     reshape.  0/1 one-hots are exact in bf16 and the f32 dot accumulation
     is exact for counts < 2^24 per chunk, so the result equals the scatter
-    path bit-for-bit (tests/test_pseudo.py compares the two).  Measured:
-    140 ms -> ~2 ms on the bench batch.
+    path bit-for-bit (tests/test_pseudo.py compares the two).  Measured on
+    the bench batch: 140 ms scatter -> 9.8 ms scanned 4096-bin contraction
+    -> 5.9 ms unrolled 1024-bin (a Pallas fused-one-hot kernel is blocked:
+    Mosaic crashes on the [rows,128]->[rows*128,1] relayout any in-kernel
+    formulation needs).
     """
     valid = label != ignore_label
     l = jnp.where(valid, label, 0).astype(jnp.int32)
@@ -68,7 +74,13 @@ def class_confidence_histograms(
 
     n_coarse = 64
     n_fine = num_bins // n_coarse
-    chunk = 1 << 16
+    # large chunks + an UNROLLED accumulation loop: the lax.scan form
+    # measured 9.8 ms on the bench batch (240 sequential while-iterations,
+    # per-step dispatch overhead); unrolled 1 M-pixel chunks measure 5.9 ms
+    # at 1024 bins.  The remaining cost is the materialized one-hot
+    # operands — minimized by picking n_coarse so n_coarse + n_fine*T is
+    # small (64 + 16*3 = 112 columns/pixel at the default shape).
+    chunk = 1 << 20
     p_total = label.size
     pad = (-p_total) % chunk
     coarse = (b // n_fine).reshape(-1)
@@ -79,23 +91,20 @@ def class_confidence_histograms(
         fine_cls = jnp.concatenate([fine_cls, jnp.zeros((pad,), jnp.int32)])
         wts = jnp.concatenate([wts, jnp.zeros((pad,), bool)])
     steps = coarse.size // chunk
-    coarse = coarse.reshape(steps, chunk, 1)
-    fine_cls = fine_cls.reshape(steps, chunk, 1)
-    wts = wts.reshape(steps, chunk, 1)
 
     iota_a = jnp.arange(n_coarse, dtype=jnp.int32)[None, :]
     iota_b = jnp.arange(n_fine * num_classes, dtype=jnp.int32)[None, :]
 
-    def step(acc, xs):
-        co, fc, w = xs
+    acc = jnp.zeros((n_coarse, n_fine * num_classes), jnp.float32)
+    for s in range(steps):
+        co = coarse[s * chunk:(s + 1) * chunk, None]
+        fc = fine_cls[s * chunk:(s + 1) * chunk, None]
+        w = wts[s * chunk:(s + 1) * chunk, None]
         a = ((co == iota_a) & w).astype(jnp.bfloat16)      # [chunk, 64]
         bm = (fc == iota_b).astype(jnp.bfloat16)           # [chunk, F*T]
-        return acc + jax.lax.dot_general(
+        acc = acc + jax.lax.dot_general(
             a, bm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32), None
-
-    acc0 = jnp.zeros((n_coarse, n_fine * num_classes), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (coarse, fine_cls, wts))
+            preferred_element_type=jnp.float32)
     # acc[coarse, fine*T + c] -> hist[c, coarse*F + fine]
     hist = acc.reshape(n_coarse, n_fine, num_classes)
     return jnp.transpose(hist, (2, 0, 1)).reshape(num_classes, num_bins)

@@ -26,8 +26,17 @@ def model_parameters(params) -> int:
 
 
 def estimate_flops(fn, *args) -> Optional[float]:
-    """Static FLOP estimate of a jittable fn via XLA's cost analysis.
-    Returns None if the backend doesn't expose it."""
+    """Static USEFUL-FLOP estimate of a jittable fn via XLA cost analysis.
+
+    Lowers with grouped-conv densification disabled (the production path
+    pads grouped 1x1s to block-diagonal dense, whose cost analysis would
+    overstate grouped-layer FLOPs by the group factor); the flag only
+    affects this lowering, never an executed program.
+    Returns None if the backend doesn't expose cost analysis."""
+    from mspl_tpu.ops import grouped_conv
+
+    prev = grouped_conv.DENSIFY_GROUPED
+    grouped_conv.DENSIFY_GROUPED = False
     try:
         analysis = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(analysis, list):  # older jax returns [dict]
@@ -35,6 +44,8 @@ def estimate_flops(fn, *args) -> Optional[float]:
         return float(analysis.get("flops", None)) if analysis else None
     except Exception:
         return None
+    finally:
+        grouped_conv.DENSIFY_GROUPED = prev
 
 
 def device_sync(tree) -> None:

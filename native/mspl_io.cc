@@ -281,28 +281,6 @@ int mspl_decode_png_batch(const char** paths, int n, uint8_t* dst, int oh,
   return 0;
 }
 
-// Encode gray (c=1) or RGB (c=3) PNG into an internal buffer; caller copies
-// via mspl_copy_and_free.  Returns length or <0 on error.
-long mspl_encode_png(const uint8_t* img, int h, int w, int c, uint8_t** out) {
-  auto* vec = new std::vector<uint8_t>();
-  int rc = encode_png(img, h, w, c, vec);
-  if (rc) { delete vec; return rc; }
-  *out = vec->data();
-  // stash the vector pointer just before... simpler: leak-free via handle API
-  // we return the vector as an opaque handle in *out by storing it globally is
-  // racy; instead we copy: caller provides mspl_encode_png_to with a buffer.
-  long len = long(vec->size());
-  // NOTE: memory intentionally transferred; freed by mspl_free_buffer(ptr).
-  // We store the vector pointer 8 bytes before the data via a second alloc:
-  uint8_t* heap = (uint8_t*)malloc(len);
-  memcpy(heap, vec->data(), len);
-  delete vec;
-  *out = heap;
-  return len;
-}
-
-void mspl_free_buffer(uint8_t* p) { free(p); }
-
 // Encode + write to file.  Returns 0 on ok.
 int mspl_encode_png_file(const char* path, const uint8_t* img, int h, int w,
                          int c) {

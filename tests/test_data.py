@@ -184,3 +184,61 @@ def test_loader_batching_padding_and_shuffle():
     # drop_last
     dl2 = DataLoader(ds, batch_size=4, drop_last=True)
     assert len(list(dl2)) == 2
+
+
+def test_greenhouse_rgbd_depth_ingestion(tmp_path):
+    """SURVEY.md §2 'Greenhouse RGB(-D)': use_depth=True parses
+    'rgb depth [label]' lists, returns uint8 [H,W,4], batches through the
+    loader, and the model trains with in_channels=4."""
+    from PIL import Image
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(5)
+    n = 4
+    for i in range(n):
+        img = rng.integers(0, 255, size=(20, 30, 3)).astype(np.uint8)
+        dep = rng.integers(0, 255, size=(20, 30)).astype(np.uint8)
+        lab = rng.integers(0, 3, size=(20, 30)).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(root, f"rgb{i}.png"))
+        Image.fromarray(dep, mode="L").save(os.path.join(root, f"d{i}.png"))
+        save_label_png(lab, os.path.join(root, f"l{i}.png"))
+    with open(os.path.join(root, "rgbd.txt"), "w") as f:
+        for i in range(n):
+            f.write(f"rgb{i}.png d{i}.png l{i}.png\n")
+
+    ds = build_dataset("greenhouse", root, os.path.join(root, "rgbd.txt"),
+                       size_wh=(30, 20), use_depth=True)
+    assert ds.channels == 4
+    im, lb = ds.load(0)
+    assert im.shape == (20, 30, 4) and im.dtype == np.uint8
+    assert lb.shape == (20, 30)
+    dep0 = np.asarray(Image.open(os.path.join(root, "d0.png")))
+    np.testing.assert_array_equal(im[..., 3], dep0)
+
+    dl = DataLoader(ds, batch_size=2)
+    batch = next(iter(dl))
+    assert batch["image"].shape == (2, 20, 30, 4)
+
+    # 4-channel normalize: depth channel maps [0,255] -> [-1, 1]
+    import jax.numpy as jnp
+
+    from mspl_tpu.data.transforms import normalize
+
+    out = normalize(jnp.asarray(batch["image"]))
+    assert out.shape == (2, 20, 30, 4)
+    d = np.asarray(out[..., 3])
+    np.testing.assert_allclose(
+        d, (batch["image"][..., 3] / 255.0 - 0.5) / 0.5, atol=1e-6)
+
+    # the model stem accepts 4 channels and a train step runs
+    from mspl_tpu.engine.train import (TrainLoopConfig, train_segmentation)
+    from mspl_tpu.models import ESPNetv2Segmentation, init_model
+
+    model = ESPNetv2Segmentation(num_classes=3, s=0.5, dec_base_planes=8)
+    variables = init_model(model, (20, 30), channels=4)
+    cfg = TrainLoopConfig(epochs=1, crop_hw=(20, 30), scale_range=(0.9, 1.1),
+                          lr=0.01, scheduler="fixed", optimizer="adam",
+                          verbose=False)
+    res = train_segmentation(model, variables, dl, None, num_classes=3,
+                             cfg=cfg)
+    assert np.isfinite(res["history"][0]["loss"])

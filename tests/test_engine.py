@@ -154,6 +154,56 @@ def test_synthetic_training_learns(tmp_path):
     assert res2["best_miou"] >= res["best_miou"] - 1e-6
 
 
+@pytest.mark.slow
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    """Preemption recovery (SURVEY.md §5): a run killed mid-epoch and
+    resumed from its step-level checkpoint must reproduce the
+    uninterrupted run exactly — same params, same data order, same
+    augmentation rng."""
+    import jax
+
+    def build():
+        ds = SyntheticSegmentation(num_classes=4, size_wh=(48, 32),
+                                   length=24, seed=1)
+        loader = DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+        model = ESPNetv2Segmentation(num_classes=4, s=0.5, dec_base_planes=8)
+        variables = init_model(model, (32, 48))
+        return model, variables, loader
+
+    common = dict(epochs=2, crop_hw=(32, 48), scale_range=(0.9, 1.1),
+                  lr=0.01, scheduler="fixed", optimizer="adam",
+                  weight_decay=1e-5, verbose=False, seed=0)
+
+    # uninterrupted: 2 epochs x 3 steps
+    model, variables, loader = build()
+    cfg_a = TrainLoopConfig(ckpt_dir=str(tmp_path / "a"), **common)
+    res_a = train_segmentation(model, variables, loader, None,
+                               num_classes=4, cfg=cfg_a)
+
+    # killed after 4 of 6 steps (mid-epoch 1), then resumed
+    model, variables, loader = build()
+    cfg_b = TrainLoopConfig(ckpt_dir=str(tmp_path / "b"),
+                            ckpt_every_steps=1, max_steps=4, **common)
+    train_segmentation(model, variables, loader, None, num_classes=4,
+                       cfg=cfg_b)
+    meta_path = tmp_path / "b" / "checkpoint_last.json"
+    import json
+    meta = json.loads(meta_path.read_text())
+    assert meta["epoch"] == 1 and meta["step_in_epoch"] == 1
+
+    model, variables, loader = build()
+    cfg_b2 = TrainLoopConfig(ckpt_dir=str(tmp_path / "b"),
+                             ckpt_every_steps=1, resume=True, **common)
+    res_b = train_segmentation(model, variables, loader, None,
+                               num_classes=4, cfg=cfg_b2)
+
+    pa = jax.device_get(res_a["state"].params)
+    pb = jax.device_get(res_b["state"].params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)), pa, pb)
+
+
 def test_remat_step_matches_plain():
     """jax.checkpoint rematerialization (TrainLoopConfig.remat) must not
     change the step's math: identical loss and updated params."""
