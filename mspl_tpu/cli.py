@@ -104,6 +104,11 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations in the backward "
                         "(jax.checkpoint) to fit larger batch x crop in HBM")
+    p.add_argument("--bn-groups", type=int, default=1,
+                   help="BatchNorm statistics scope: 1 = global batch "
+                        "(synced, default); N>1 = per contiguous batch group "
+                        "(unsynced/per-replica BN; set to the data-shard "
+                        "count to match torch-DataParallel semantics)")
     p.add_argument("--rgbd", action="store_true",
                    help="greenhouse RGB-D: lists are 'rgb depth [label]', "
                         "the model stem takes 4 channels")
@@ -183,6 +188,7 @@ def cmd_train(args) -> Dict:
         ckpt_dir=args.ckpt_dir, log_dir=args.log_dir, resume=args.resume,
         remat=getattr(args, "remat", False),
         ckpt_every_steps=getattr(args, "ckpt_every_steps", 0),
+        bn_groups=getattr(args, "bn_groups", 1),
     )
     res = train_segmentation(model, variables, train_loader, val_loader,
                              info.num_classes, cfg,

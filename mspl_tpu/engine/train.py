@@ -78,12 +78,19 @@ def make_train_step(
     mean=None,
     std=None,
     remat: bool = False,
+    bn_groups: int = 1,
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics) train step.
 
     ``remat=True`` wraps the forward in ``jax.checkpoint`` so the backward
     recomputes activations instead of holding them in HBM — the standard
     TPU trade of FLOPs for memory when batch x crop would otherwise OOM.
+
+    ``bn_groups > 1`` computes BatchNorm batch statistics per contiguous
+    batch group instead of over the global batch (unsynced/per-replica BN,
+    SURVEY.md §7 "BN under pmap"); set it to the data-shard count to match
+    the reference's torch-DataParallel semantics.  See
+    ``mspl_tpu/layers/bn.py``.
     """
     cw = None if class_weights is None else jnp.asarray(class_weights)
     norm_kw = {}
@@ -102,13 +109,16 @@ def make_train_step(
             imgs = normalize(imgs8, **norm_kw)
 
         def fwd(params, imgs):
-            return state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)},
-            )
+            from mspl_tpu.layers.bn import bn_stat_groups
+
+            with bn_stat_groups(bn_groups):
+                return state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    imgs,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(rng, 1)},
+                )
 
         if remat:
             fwd = jax.checkpoint(fwd)
@@ -198,6 +208,9 @@ class TrainLoopConfig:
     # hard stop after N optimizer steps (test hook for kill-and-resume;
     # also useful for step-bounded jobs)
     max_steps: Optional[int] = None
+    # BN statistics scope: 1 = global-batch (synced, default); N>1 = per
+    # contiguous batch group (unsynced / per-replica semantics)
+    bn_groups: int = 1
 
 
 def train_segmentation(
@@ -246,6 +259,7 @@ def train_segmentation(
         model, crop_hw=cfg.crop_hw, scale_range=cfg.scale_range,
         class_weights=class_weights, reg_mode=cfg.reg_mode,
         reg_weight=cfg.reg_weight, augment=cfg.augment, remat=cfg.remat,
+        bn_groups=cfg.bn_groups,
     )
     eval_step = make_eval_step(model, num_classes)
     logger = ScalarLogger(cfg.log_dir)

@@ -23,6 +23,8 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mspl_tpu.layers.bn import BatchNorm
+
 # torch BatchNorm2d defaults
 _BN_EPS = 1e-5
 _BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum(0.1)
@@ -147,7 +149,7 @@ class BR(nn.Module):
         # to fp32 (params are fp32), silently doubling HBM traffic for the
         # whole network downstream of every BN.  Statistics stay fp32 in
         # batch_stats (param_dtype default).
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=_BN_MOMENTUM,
             epsilon=_BN_EPS, dtype=x.dtype,
         )(x)
@@ -172,7 +174,7 @@ class CB(nn.Module):
             dilation=self.dilation,
             groups=self.groups,
         )(x)
-        return nn.BatchNorm(
+        return BatchNorm(
             use_running_average=not train, momentum=_BN_MOMENTUM,
             epsilon=_BN_EPS, dtype=x.dtype,
         )(x)

@@ -36,9 +36,11 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(use_running_average=not self.train,
-                            momentum=_BN_MOMENTUM, epsilon=_BN_EPS,
-                            dtype=x.dtype)(x)
+        from mspl_tpu.layers.bn import BatchNorm
+
+        return BatchNorm(use_running_average=not self.train,
+                         momentum=_BN_MOMENTUM, epsilon=_BN_EPS,
+                         dtype=x.dtype)(x)
 
 
 def _bn(train: bool):

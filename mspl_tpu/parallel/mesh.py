@@ -12,9 +12,12 @@ communication backend: None").  TPU-native, parallelism is declarative:
 
 Everything runs through `jax.jit` + `NamedSharding` (GSPMD): we annotate
 input shardings; XLA inserts the collectives.  A consequence vs the
-reference: BatchNorm batch statistics are computed over the *global* batch
-(synced BN) rather than per-replica — SURVEY.md §7 "BN under pmap" allows
-this as the sync flag's default-on behavior.
+reference: BatchNorm batch statistics default to the *global* batch (synced
+BN) rather than per-replica.  The per-replica semantics are available behind
+a flag (`--bn-groups N` / `TrainLoopConfig.bn_groups`, SURVEY.md §7 "BN
+under pmap"): BN statistics are computed per contiguous batch group, which
+with groups == data shards matches torch-DataParallel BN and keeps each
+group's reduction shard-local — see mspl_tpu/layers/bn.py.
 """
 
 from __future__ import annotations
