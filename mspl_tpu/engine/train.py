@@ -79,6 +79,7 @@ def make_train_step(
     std=None,
     remat: bool = False,
     bn_groups: int = 1,
+    donate: bool = True,
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics) train step.
 
@@ -140,7 +141,9 @@ def make_train_step(
         metrics = {"loss": loss}
         return state, metrics
 
-    return jax.jit(step, donate_argnums=0)
+    # donate=False exists for tooling: the axon profiler errors on programs
+    # with donated/aliased buffers (tools/tpu_profile.py)
+    return jax.jit(step, donate_argnums=0 if donate else ())
 
 
 def make_eval_step(model, num_classes: int, mean=None, std=None):

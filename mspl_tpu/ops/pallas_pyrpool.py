@@ -342,7 +342,95 @@ def _dw3x3_rows(z: jnp.ndarray, texp: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def _dw3x3_rows_sum(zs, tes):
+    """sum_s dw3x3_rows(zs[s], tes[s]) with the shifts hoisted ACROSS the
+    inputs: regrouping  sum_s sum_t tap[s,t] * shift_t(z_s)  as
+    sum_t shift_t( sum_s tap[s,t] * z_s )  cuts the shift count from 11 per
+    input (9 sublane + 2 lane) to 11 TOTAL — and the 1-row sublane shifts
+    are the expensive ops on this stack (ablation: the per-scale merge dws
+    were ~2 ms of the 7 ms bench-shape kernel).  Exact regroup: shifts are
+    linear."""
+    acc = None
+    for ix in (-1, 0, 1):
+        inner = None
+        for iy in (-1, 0, 1):
+            k = (iy + 1) * 3 + (ix + 1)
+            u = None
+            for z, te in zip(zs, tes):
+                term = z * te[:, k:k + 1].astype(z.dtype)
+                u = term if u is None else u + term
+            s = _shift2(u, -iy, 0)
+            inner = s if inner is None else inner + s
+        if ix:
+            inner = _shift2(inner, 0, -ix)
+        acc = inner if acc is None else acc + inner
+    return acc
+
+
 _GAP = 8  # zero sublane rows between stacked planes (conv isolation + align)
+
+
+def _shift_mat(n: int, e: int) -> np.ndarray:
+    """[n, n] row-shift operator: (S y)[r] = y[r + e], zero-filled."""
+    S = np.zeros((n, n), np.float64)
+    idx = np.arange(n)
+    ok = (idx + e >= 0) & (idx + e < n)
+    S[idx[ok], idx[ok] + e] = 1.0
+    return S
+
+
+def _composed_up_mats(h: int, w: int, hs: int, ws: int):
+    """Compose an UP-scale branch (bilinear up -> 3x3 shift -> bilinear back)
+    into per-offset source-resolution operators:
+
+        branch(x) = sum_{ey,ex} tap[ey,ex] * P[ey] @ x @ Q[ex]
+
+    with P[e] = U_back_h @ S_e @ U_to_h  ([h, h]) and
+    Q[e] = U_to_w^T @ S_e^T @ U_back_w^T ([w, w]).  Exact by matrix algebra
+    (verified to ~1e-15 in f64 against the sequential path, including
+    boundary zero-fill); eliminates both the up-resolution VPU conv (the
+    dominant el-op block: the 2.0-scale branch is 4x the source pixels) and
+    ~half the resize MACs, and shrinks the branch working set to [h, w].
+    Returned stacked as [3, h, h] / [3, w, w] float32."""
+    dh = np.asarray(_interp_matrix(h, hs, True), np.float64)    # [hs, h]
+    dwm = np.asarray(_interp_matrix(w, ws, True), np.float64)   # [ws, w]
+    uh = np.asarray(_interp_matrix(hs, h, True), np.float64)    # [h, hs]
+    uw = np.asarray(_interp_matrix(ws, w, True), np.float64)    # [w, ws]
+    P = np.stack([uh @ _shift_mat(hs, e) @ dh for e in (-1, 0, 1)])
+    Q = np.stack([dwm.T @ _shift_mat(ws, e).T @ uw.T for e in (-1, 0, 1)])
+    return P.astype(np.float32), Q.astype(np.float32)
+
+
+def _composed_up_branch(xs, te, pm_ref, qm_ref, gsz, gh, h):
+    """Composed up-scale branch on channel-STACKED planes xs [gsz*gh, w].
+
+    te: [gsz*gh, 9] f32 per-row taps (zero on gap rows); pm_ref/qm_ref the
+    [3, h, h] / [3, w, w] composed operators.  Right dots run stacked (all
+    channels in one MXU op); the per-(ey,ex) tap combine is 15 whole-array
+    VPU ops; left dots are per channel with f32 accumulation across ey.
+    Returns the re-stacked [gsz*gh, w] branch output."""
+    cdt = xs.dtype
+    R = [jax.lax.dot(xs, qm_ref[ex].astype(cdt),
+                     preferred_element_type=jnp.float32).astype(cdt)
+         for ex in range(3)]
+    T = []
+    for ey in range(3):
+        comb = None
+        for ex in range(3):
+            k = ey * 3 + ex
+            term = R[ex] * te[:, k:k + 1].astype(cdt)
+            comb = term if comb is None else comb + term
+        T.append(comb)
+    ups = []
+    for j in range(gsz):
+        accf = None
+        for ey in range(3):
+            d = jax.lax.dot(pm_ref[ey].astype(cdt),
+                            T[ey][j * gh:j * gh + h, :],
+                            preferred_element_type=jnp.float32)
+            accf = d if accf is None else accf + d
+        ups.append(accf.astype(cdt))
+    return _stack_planes(ups, xs.shape[1])
 
 
 def _stack_planes(planes, w):
@@ -405,7 +493,10 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
     mats = {}
     mi = 0
     for si, s in enumerate(scales):
-        if s != 1.0:
+        if s > 1.0:  # composed operators: P [3,h,h], Q [3,w,w]
+            mats[si] = (rest[mi], rest[mi + 1])
+            mi += 2
+        elif s != 1.0:
             mats[si] = tuple(rest[mi + j] for j in range(4))
             mi += 4
     per_scale = rest[mi:-2]
@@ -416,7 +507,7 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
     g = pl.program_id(1)
     n_groups = pl.num_programs(1)
     cdt = x_ref.dtype
-    clsw = clsw_ref[:][0].astype(jnp.float32)   # [gsz, O]
+    clsw = clsw_ref[:][0].astype(jnp.float32)   # [O, gsz]
     aff2e = aff2e_ref[:].astype(jnp.float32)    # [gsz*gh, 3]
 
     def dot(a, b):
@@ -425,13 +516,16 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
 
     planes = [x_ref[0, c, :, :] for c in range(gsz)]
     gh = h + _GAP
+    xs_full = _stack_planes(planes, w)
 
-    merged = None
+    vfs = []
     for si, s in enumerate(scales):
         hs, ws = sizes[si]
         if s == 1.0:
-            vs = _stack_planes(planes, w)
-            vs = _dw3x3_rows(vs, taps_exp[si][:])
+            vs = _dw3x3_rows(xs_full, taps_exp[si][:])
+        elif s > 1.0:
+            vs = _composed_up_branch(xs_full, taps_exp[si][:],
+                                     mats[si][0], mats[si][1], gsz, gh, h)
         else:
             down_h, down_wT, up_h, up_wT = mats[si]
             dh = down_h[:]                          # [slot, H], pad rows 0
@@ -444,36 +538,47 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
                    for j in range(gsz)]
             vs = _stack_planes(ups, ws)
             vs = dot(vs, up_wT[:])                  # [gsz*gh, w]
+        # f32 affine/PReLU and merge-dw accumulation, exactly as measured
+        # fastest: a shift-hoisted all-scale merge (_dw3x3_rows_sum) lost
+        # 7.9 vs 7.0 ms, and compute-dtype (bf16) affines/classifier lost
+        # 7.5 vs 7.1 ms — the extra converts outweigh the narrower math
         a1 = aff1_exp[si][:].astype(jnp.float32)   # [gsz*gh, 3]
         vf = vs.astype(jnp.float32)
         vf = vf * a1[:, 0:1] + a1[:, 1:2]
         vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
         t = _dw3x3_rows(vf.astype(cdt), mw_exp[si][:]).astype(jnp.float32)
-        merged = t if merged is None else merged + t
+        vfs.append(t)
+
+    merged = vfs[0]
+    for t in vfs[1:]:
+        merged = merged + t
 
     merged = merged * aff2e[:, 0:1] + aff2e[:, 1:2]
     merged = (jnp.maximum(merged, 0.0)
               + aff2e[:, 2:3] * jnp.minimum(merged, 0.0))
 
+    # classifier: per-(oc, c) whole-plane multiply-adds.  A rank-3
+    # dot_general formulation ([O, gsz] x [gsz, gh, w]) does not lower in
+    # Mosaic, and the 2-D alternative needs a [gsz, gh*w] relayout that
+    # costs more than the loop.
     mslices = [merged[c * gh:c * gh + h, :] for c in range(gsz)]
+
+    def _cls(oc):
+        acc = None
+        for c in range(gsz):
+            term = mslices[c] * clsw[oc, c]
+            acc = term if acc is None else acc + term
+        return acc
 
     @pl.when(g == 0)
     def _init():
         for oc in range(o):
-            acc = None
-            for c in range(gsz):
-                term = mslices[c] * clsw[c, oc]
-                acc = term if acc is None else acc + term
-            acc_ref[oc] = acc
+            acc_ref[oc] = _cls(oc)
 
     @pl.when(g > 0)
     def _accum():
         for oc in range(o):
-            acc = None
-            for c in range(gsz):
-                term = mslices[c] * clsw[c, oc]
-                acc = term if acc is None else acc + term
-            acc_ref[oc] += acc
+            acc_ref[oc] += _cls(oc)
 
     @pl.when(g == n_groups - 1)
     def _flush():
@@ -496,6 +601,7 @@ def pyr_pool_fused_eval_v2(
     scales: Sequence[float],
     interpret: bool = False,
     channel_major_out: bool = False,
+    gsz: int | None = None,
 ) -> jnp.ndarray:
     """Channel-group-stacked variant of pyr_pool_fused_eval (same contract).
 
@@ -504,9 +610,12 @@ def pyr_pool_fused_eval_v2(
     slot matrices (see _fused_kernel_v2), so any scale set works."""
     interpret = interpret or jax.default_backend() == "cpu"
     b, h, w, p = x.shape
-    # largest group size <=4 dividing P: bounds the stacked working set
-    # (a full-P stack exceeded the 16 MB scoped-VMEM limit at 26.6 MB)
-    gsz = next((d for d in (4, 3, 2) if p % d == 0), 1)
+    # largest group size <=4 dividing P: bounds the stacked working set.
+    # A full-P stack still exceeds the 16 MB scoped-VMEM limit (21.9 MB
+    # measured at p=8, bench shape) even with the composed up-branches;
+    # `gsz` overrides for A/B.
+    if gsz is None:
+        gsz = next((d for d in (4, 3, 2) if p % d == 0), 1)
     if h % 8 != 0 or gsz == 1:
         return pyr_pool_fused_eval(
             x, dw_weights, aff1, merge_weights, aff2, cls_w, cls_b, aff3,
@@ -514,8 +623,10 @@ def pyr_pool_fused_eval_v2(
     s_n = len(scales)
     o = cls_w.shape[1]
     sizes = _branch_sizes(h, w, scales)
+    # up-scales run COMPOSED at source resolution (slot = gh); only
+    # down-scales still stack at the branch height
     slots = tuple(
-        h + _GAP if s == 1.0 else _slot(sizes[si][0])
+        h + _GAP if s >= 1.0 else _slot(sizes[si][0])
         for si, s in enumerate(scales)
     )
 
@@ -530,12 +641,12 @@ def pyr_pool_fused_eval_v2(
         hs, ws = sizes[si]
         if s == 1.0:
             continue
-        if s < 1.0:
-            dh = _adaptive_avg_matrix(h, hs)
-            dw_ = _adaptive_avg_matrix(w, ws)
-        else:
-            dh = _interp_matrix(h, hs, True)
-            dw_ = _interp_matrix(w, ws, True)
+        if s > 1.0:
+            P, Q = _composed_up_mats(h, w, hs, ws)
+            mats += [jnp.asarray(P, mdt), jnp.asarray(Q, mdt)]
+            continue
+        dh = _adaptive_avg_matrix(h, hs)
+        dw_ = _adaptive_avg_matrix(w, ws)
         uh = _interp_matrix(hs, h, True)
         uw = _interp_matrix(ws, w, True)
         pad = slots[si] - hs
@@ -546,7 +657,7 @@ def pyr_pool_fused_eval_v2(
     taps = dw_weights.astype(jnp.float32).reshape(s_n, 9, p)  # [S, 9, P]
     taps_exp = []
     for si, s in enumerate(scales):
-        hs = h if s == 1.0 else sizes[si][0]
+        hs = h if s >= 1.0 else sizes[si][0]
         taps_exp.append(
             _expand_rows(taps[si].T, hs, slots[si]))  # [P*slot, 9]
     aff1_r = aff1.astype(jnp.float32).reshape(3, s_n, p)
@@ -555,7 +666,9 @@ def pyr_pool_fused_eval_v2(
     mw_exp = [_expand_rows(mw_r[:, si, :].T, h) for si in range(s_n)]
     aff2_exp = _expand_rows(aff2.astype(jnp.float32).T, h)
     # group-blocked param packs (rank-3 so group blocks cover the minor dims)
+    # [P/gsz, O, gsz]: transposed per group for the kernel's dot_general
     clsw_g = cls_w.astype(jnp.float32).reshape(p // gsz, gsz, o)
+    clsw_g = jnp.transpose(clsw_g, (0, 2, 1))
     tail = jnp.concatenate([cls_b[None, :], aff3], axis=0)
 
     kernel_mats = mats  # kernel consumes 4 per scale (s != 1.0), scale order
@@ -580,7 +693,7 @@ def pyr_pool_fused_eval_v2(
         grid=(b, p // gsz),
         in_specs=[
             pl.BlockSpec((1, gsz, h, w), lambda i, g: (i, g, 0, 0)),
-            pl.BlockSpec((1, gsz, o), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((1, o, gsz), lambda i, g: (g, 0, 0)),
             full(tail.shape),
             pl.BlockSpec((gsz * gh, 3), lambda i, g: (g, 0)),
             *[full(m.shape) for m in kernel_mats],
@@ -670,7 +783,10 @@ def _branches_kernel_v2(scales, sizes, slots, h, w, p, gsz,
     mats = {}
     mi = 0
     for si, s in enumerate(scales):
-        if s != 1.0:
+        if s > 1.0:  # composed operators: P [3,h,h], Q [3,w,w]
+            mats[si] = (rest[mi], rest[mi + 1])
+            mi += 2
+        elif s != 1.0:
             mats[si] = tuple(rest[mi + j] for j in range(4))
             mi += 4
     taps_exp = rest[mi:-1]
@@ -682,11 +798,14 @@ def _branches_kernel_v2(scales, sizes, slots, h, w, p, gsz,
 
     planes = [x_ref[0, c, :, :] for c in range(gsz)]
     gh = h + _GAP
+    xs_full = _stack_planes(planes, w)
     for si, s in enumerate(scales):
         hs, ws = sizes[si]
         if s == 1.0:
-            vs = _stack_planes(planes, w)
-            vs = _dw3x3_rows(vs, taps_exp[si][:])
+            vs = _dw3x3_rows(xs_full, taps_exp[si][:])
+        elif s > 1.0:
+            vs = _composed_up_branch(xs_full, taps_exp[si][:],
+                                     mats[si][0], mats[si][1], gsz, gh, h)
         else:
             down_h, down_wT, up_h, up_wT = mats[si]
             dh = down_h[:]
@@ -708,17 +827,19 @@ def _pyr_branches_impl_v2(
     weights: jnp.ndarray,
     scales: Sequence[float],
     interpret: bool = False,
+    gsz: int | None = None,
 ) -> jnp.ndarray:
     """Group-stacked variant of _pyr_branches_impl (same contract)."""
     interpret = interpret or jax.default_backend() == "cpu"
     b, h, w, p = x.shape
     s_n = len(scales)
-    gsz = next((d for d in (4, 3, 2) if p % d == 0), 1)
+    if gsz is None:
+        gsz = next((d for d in (4, 3, 2) if p % d == 0), 1)
     if h % 8 != 0 or gsz == 1:
         return _pyr_branches_impl(x, weights, scales, interpret=interpret)
     sizes = _branch_sizes(h, w, scales)
     slots = tuple(
-        h + _GAP if s == 1.0 else _slot(sizes[si][0])
+        h + _GAP if s >= 1.0 else _slot(sizes[si][0])
         for si, s in enumerate(scales)
     )
     mdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
@@ -727,12 +848,12 @@ def _pyr_branches_impl_v2(
         hs, ws = sizes[si]
         if s == 1.0:
             continue
-        if s < 1.0:
-            dh = _adaptive_avg_matrix(h, hs)
-            dw_ = _adaptive_avg_matrix(w, ws)
-        else:
-            dh = _interp_matrix(h, hs, True)
-            dw_ = _interp_matrix(w, ws, True)
+        if s > 1.0:
+            P, Q = _composed_up_mats(h, w, hs, ws)
+            mats += [jnp.asarray(P, mdt), jnp.asarray(Q, mdt)]
+            continue
+        dh = _adaptive_avg_matrix(h, hs)
+        dw_ = _adaptive_avg_matrix(w, ws)
         uh = _interp_matrix(hs, h, True)
         uw = _interp_matrix(ws, w, True)
         pad = slots[si] - hs
@@ -744,7 +865,7 @@ def _pyr_branches_impl_v2(
     taps_exp = []
     per_scale_specs = []
     for si, s in enumerate(scales):
-        hs = h if s == 1.0 else sizes[si][0]
+        hs = h if s >= 1.0 else sizes[si][0]
         taps_exp.append(_expand_rows(taps[si].T, hs, slots[si]))
         per_scale_specs.append(
             pl.BlockSpec((gsz * slots[si], 9), lambda i, g: (g, 0)))

@@ -80,7 +80,7 @@ def capture(what: str, iters: int, batch: int) -> str:
         variables = init_model(model, HW)
         tx = build_optimizer("sgd", build_schedule("fixed", 0.009, 1000))
         state = create_train_state(model, variables, tx)
-        tstep = make_train_step(model, crop_hw=HW, augment=True)
+        tstep = make_train_step(model, crop_hw=HW, augment=True, donate=False)
         key = jax.random.PRNGKey(1)
         imgs = jax.device_put(jax.random.randint(
             rng, (batch, *HW, 3), 0, 256, dtype=jnp.int32).astype(jnp.uint8))
@@ -106,7 +106,10 @@ def capture(what: str, iters: int, batch: int) -> str:
             out = step(*args)
             if what == "train":
                 args = (out[0],)
-        device_sync(out)
+        # sync on a SMALL leaf only: fetching large arrays while the axon
+        # profiler is active raises INVALID_ARGUMENT (observed on the train
+        # step); the loss/labels leaf is enough to drain the dispatch chain
+        device_sync(out[1] if what == "train" else out[0])
     print(f"trace written to {logdir}", file=sys.stderr)
     return logdir
 
@@ -122,38 +125,38 @@ def parse(logdir: str, top: int, iters: int, merge_fusions: bool):
     with open(max(paths, key=os.path.getmtime), "rb") as f:
         space.ParseFromString(f.read())
 
+    # 'XLA Ops' is the serial device timeline (sums to wall clock); 'Async
+    # XLA Ops' spans overlap compute (weight prefetch DMAs etc.) and must
+    # not be mixed in, or copy-start dominates a fictitious total.
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    async_total = 0.0
     total = 0
     for plane in space.planes:
-        name = plane.name
-        if "TPU" not in name and "/device:" not in name:
+        if not plane.name.startswith("/device:"):
             continue
-        if any(k in name for k in ("Host", "python", "Steps")):
-            continue
-        stats_meta = {k: v.name for k, v in plane.stat_metadata.items()}
         ev_meta = {k: v.name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
-            lname = line.name.lower()
-            # device op lines are named like 'XLA Ops' / 'TensorFlow Ops';
-            # skip step/scope aggregation lines to avoid double counting
-            if "op" not in lname:
+            if line.name == "Async XLA Ops":
+                async_total += sum(e.duration_ps for e in line.events) / 1e12
                 continue
-            if "framework" in lname or "tensorflow" in lname or "scope" in lname:
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 nm = ev_meta.get(ev.metadata_id, "?")
                 dur = ev.duration_ps / 1e12
                 key = nm
                 if merge_fusions:
-                    key = re.sub(r"\.\d+$", "", nm)
+                    key = re.sub(r"\.\d+$", "", nm.split(" = ")[0])
                 per_op[key] += dur
                 cat = key.split(".")[0].split("(")[0]
                 per_cat[cat] += dur
                 total += dur
 
-    print(f"\ndevice total: {total * 1e3:.2f} ms over {iters} iter(s) "
-          f"= {total * 1e3 / max(iters, 1):.2f} ms/iter")
+    print(f"\ndevice busy ('XLA Ops'): {total * 1e3:.2f} ms over {iters} "
+          f"iter(s) = {total * 1e3 / max(iters, 1):.2f} ms/iter   "
+          f"(async DMA spans, overlapped: "
+          f"{async_total * 1e3 / max(iters, 1):.1f} ms/iter)")
     print(f"\n== top {top} ops (summed over trace) ==")
     for nm, t in per_op.most_common(top):
         print(f"{t * 1e3 / max(iters, 1):9.3f} ms/iter  {100 * t / total:5.1f}%  {nm[:110]}")
