@@ -56,12 +56,56 @@ class EfficientPyrPool(nn.Module):
     channel_major_out: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pre: jnp.ndarray | None = None,
+                 train: bool = False) -> jnp.ndarray:
         import jax
+
+        from mspl_tpu.ops.resize import resize_bilinear
 
         p = self.proj_features
         scales = tuple(sorted(self.scales, reverse=True))
-        x = CBR(p, kernel_size=1, stride=1, name="proj")(x, train=train)
+        # `pre`: a lower-resolution decoder tensor to be bilinearly upsampled
+        # to x's size and ADDED to x before this block (the bottom-up decoder
+        # skip merge).  Folding the merge in here lets eval commute the 1x1
+        # proj conv with the upsample: conv+BN are linear in eval (running
+        # stats = per-channel affine), and align_corners bilinear rows sum to
+        # 1, so  CBR(up(pre) + x) == PReLU(up(conv(pre)*a) + conv(x)*a + b).
+        # The upsample then moves from the decoder width (32-64 ch) to the
+        # proj width (8-16 ch) — the device trace priced the last (1/2-res,
+        # 32ch) upsample + its layout copy + the 32ch add at ~3.5 ms/model.
+        # Train keeps the plain order: train-mode BN normalizes with batch
+        # statistics of the merged input, which must not be split.
+        commute = (pre is not None and not train
+                   and not self.is_initializing())
+        if pre is not None and not commute:
+            x = x + resize_bilinear(pre, (x.shape[1], x.shape[2]),
+                                    align_corners=True, order="wh")
+        if commute:
+            v = self.variables
+            pj = v["params"]["proj"]
+            st = v["batch_stats"]["proj"]["CB_0"]["BatchNorm_0"]
+            a = pj["CB_0"]["BatchNorm_0"]["scale"] / jnp.sqrt(st["var"] + 1e-5)
+            beff = pj["CB_0"]["BatchNorm_0"]["bias"] - st["mean"] * a
+            ka = (pj["CB_0"]["C_0"]["Conv_0"]["kernel"][0, 0] * a[None, :])
+            alpha = pj["PReLU_0"]["alpha"]
+
+            def pconv(t):
+                # same 1x1-conv primitive (and therefore lowering/fusion
+                # behavior) as the plain path's nn.Conv; bf16 inputs keep a
+                # bf16 output — the MXU accumulates in f32 internally, and a
+                # preferred_element_type=f32 output would add a separate
+                # full-res convert pass (measured 1.45 ms/iter)
+                return jax.lax.conv_general_dilated(
+                    t, ka.astype(t.dtype)[None, None],
+                    window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            za = resize_bilinear(pconv(pre), (x.shape[1], x.shape[2]),
+                                 align_corners=True, order="wh")
+            z = pconv(x) + za + beff.astype(x.dtype)
+            x = jnp.maximum(z, 0) + alpha.astype(z.dtype) * jnp.minimum(z, 0)
+        else:
+            x = CBR(p, kernel_size=1, stride=1, name="proj")(x, train=train)
         h, w = x.shape[1], x.shape[2]
 
         dw_kernels = [

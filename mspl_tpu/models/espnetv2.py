@@ -182,6 +182,7 @@ class ESPNetv2Segmentation(nn.Module):
     dec_base_planes: int = 16
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
+    fuse_stages: bool | None = None  # see EESPNet.fuse_stages
     # emit logits as channel-major [B, C, H, W]: the final resize einsum
     # absorbs the layout change for free, and the fused pseudo-label kernel
     # (ops/pallas_pseudo_cm.py) wants W as the lane dim
@@ -190,7 +191,8 @@ class ESPNetv2Segmentation(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         enc = EESPNet(s=self.s, reinf=True, compute_dtype=self.compute_dtype,
-                      use_pallas=self.use_pallas, name="base_net")
+                      use_pallas=self.use_pallas,
+                      fuse_stages=self.fuse_stages, name="base_net")
         l1, l2, l3, l4 = enc.encode(x, train=train)
 
         bp = self.dec_base_planes
@@ -199,27 +201,23 @@ class ESPNetv2Segmentation(nn.Module):
         # depthwise pyramid wide enough for tiny target label spaces
         proj = min(bp, max(self.num_classes // 2, 8))
 
-        def up_to(t, like):
-            # upsample to the skip tap's spatial size (handles odd sizes where
-            # a pure x2 upsample would be off by one, e.g. 45 -> 23 -> 45).
-            # W-contraction first: the H-first order leaves the last (1/2-res,
-            # 32-channel) upsample in a layout XLA then copies (~1.7 ms/model
-            # of copy.* in the device trace)
-            return resize_bilinear(t, (like.shape[1], like.shape[2]),
-                                   align_corners=True, order="wh")
-
+        # The bottom-up upsample+skip-add now lives INSIDE EfficientPyrPool
+        # (`pre=`): eval commutes the proj 1x1 conv with the upsample so the
+        # resize runs at proj width (8-16 ch) instead of decoder width
+        # (32-64 ch); train keeps the reference order exactly.  Size targets
+        # come from the skip tensor, handling odd sizes where a pure x2
+        # upsample would be off by one (e.g. 45 -> 23 -> 45).
         out = EfficientPyrPool(proj, dec_planes[0], name="bu_dec_l1")(l4, train=train)
 
-        out = up_to(out, l3)
-        out = out + EfficientPWC(dec_planes[0], name="merge_l2")(l3, train=train)
-        out = EfficientPyrPool(proj, dec_planes[1], name="bu_dec_l2")(out, train=train)
+        m2 = EfficientPWC(dec_planes[0], name="merge_l2")(l3, train=train)
+        out = EfficientPyrPool(proj, dec_planes[1], name="bu_dec_l2")(
+            m2, pre=out, train=train)
 
-        out = up_to(out, l2)
-        out = out + EfficientPWC(dec_planes[1], name="merge_l3")(l2, train=train)
-        out = EfficientPyrPool(proj, dec_planes[2], name="bu_dec_l3")(out, train=train)
+        m3 = EfficientPWC(dec_planes[1], name="merge_l3")(l2, train=train)
+        out = EfficientPyrPool(proj, dec_planes[2], name="bu_dec_l3")(
+            m3, pre=out, train=train)
 
-        out = up_to(out, l1)
-        out = out + EfficientPWC(dec_planes[2], name="merge_l4")(l1, train=train)
+        m4 = EfficientPWC(dec_planes[2], name="merge_l4")(l1, train=train)
         # logits stay in compute dtype (bf16 under compute_dtype=bfloat16 —
         # halves the traffic of this full-resolution resize and of the
         # downstream softmax); every consumer (losses, pseudo fusion,
@@ -234,11 +232,11 @@ class ESPNetv2Segmentation(nn.Module):
             out = EfficientPyrPool(
                 proj, dec_planes[3], last_layer_br=False, fuse_tail=True,
                 channel_major_out=True, name="bu_dec_l4",
-            )(out, train=train)
+            )(m4, pre=out, train=train)
             return resize_x2_cm_pallas(out, (x.shape[1], x.shape[2]),
                                        align_corners=True)
         out = EfficientPyrPool(
             proj, dec_planes[3], last_layer_br=False, name="bu_dec_l4"
-        )(out, train=train)
+        )(m4, pre=out, train=train)
         return resize_bilinear(out, (x.shape[1], x.shape[2]),
                                align_corners=True)

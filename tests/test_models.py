@@ -91,3 +91,42 @@ def test_train_mode_updates_batch_stats():
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_decoder_commuted_proj_matches_plain_order():
+    """Eval commutes the pyrpool proj conv with the decoder upsample
+    (pyramid_pool.py `pre=`); the result must match the reference order
+    (upsample -> add -> CBR proj) to f32 rounding, and the train path must
+    BE the reference order bit-exactly."""
+    import mspl_tpu.layers.pyramid_pool as pp
+    from mspl_tpu.ops.resize import resize_bilinear
+
+    m = ESPNetv2Segmentation(num_classes=7, s=1.0)
+    variables = init_model(m, (64, 96))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 96, 3)),
+                    jnp.float32)
+    y_commuted = m.apply(variables, x, train=False)
+
+    orig = pp.EfficientPyrPool.__call__
+
+    def plain_call(self, t, pre=None, train=False):
+        if pre is not None:
+            t = t + resize_bilinear(pre, (t.shape[1], t.shape[2]),
+                                    align_corners=True, order="wh")
+        return orig(self, t, None, train)
+
+    pp.EfficientPyrPool.__call__ = plain_call
+    try:
+        y_plain = m.apply(variables, x, train=False)
+        yt_plain = m.apply(variables, x, train=True,
+                           mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(0)})[0]
+    finally:
+        pp.EfficientPyrPool.__call__ = orig
+
+    scale = float(np.abs(np.asarray(y_plain)).max())
+    assert np.abs(np.asarray(y_commuted) - np.asarray(y_plain)).max() \
+        <= 1e-5 * scale
+    yt = m.apply(variables, x, train=True, mutable=["batch_stats"],
+                 rngs={"dropout": jax.random.PRNGKey(0)})[0]
+    np.testing.assert_array_equal(np.asarray(yt), np.asarray(yt_plain))
