@@ -59,9 +59,12 @@ def main():
     for name, classes in (("camvid", 11), ("cityscapes", 19), ("forest", 5)):
         # channel-major logits: the final resize einsum emits [B,C,H,W] for
         # free, feeding the fused Pallas pseudo pass with W as lanes
+        import os
         model = ESPNetv2Segmentation(num_classes=classes, s=2.0,
                                      compute_dtype=jnp.bfloat16,
-                                     channel_major_logits=True)
+                                     channel_major_logits=True,
+                                     fuse_stages=bool(int(os.environ.get(
+                                         "MSPL_FUSE_STAGES", "0"))))
         variables = init_model(model, HW, rng=jax.random.fold_in(rng, classes))
         sources.append((model, variables, label_conversion_matrix(name)))
 

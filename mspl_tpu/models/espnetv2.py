@@ -71,13 +71,13 @@ class EESPNet(nn.Module):
     use_pallas: bool = False
     # EXPERIMENTAL (measured slower, default off): fuse each stride-1 EESP
     # stage into chained whole-stage Pallas kernels at eval
-    # (ops/pallas_eesp_stage.py).  Measured on v5e (batch 128, bf16,
-    # 256x480 input): stage3 9.8 ms vs 7.2 ms lax, stage4 8.1 vs 6.9
-    # (8.5 with 2 images per step — batching doesn't help), whole fwd 45.1
-    # vs 40.0 — the per-image grid runs the (block-diagonal-densified,
-    # 4x-FLOP) 1x1 dots at low M-efficiency and the 64-lane stage3 branch
-    # arrays at half VPU width; stage3 with 2 images per step blows the
-    # 16 MB scoped-VMEM limit at 35.6 MB.  None = off.
+    # (ops/pallas_eesp_stage.py).  r2 kernel (grouped expand dots, folded
+    # BN scales, lane-packed narrow stages) measured on v5e (batch 128,
+    # bf16, 256x480): isolated stage3 6.6 ms vs 5.8 lax, stage4 5.6 vs
+    # 5.3 (r1 kernel: 9.9/8.1); whole pipeline 1304.7 vs 1441.1 img/s —
+    # XLA keeps winning in-context (the kernel's entry/exit relayouts and
+    # serialized VPU tap work outweigh its HBM-traffic savings at these
+    # shapes).  None = off.
     fuse_stages: bool | None = None
 
     def setup(self):

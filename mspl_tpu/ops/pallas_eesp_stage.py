@@ -19,9 +19,19 @@ form a depthwise dilated 3x3 becomes 9 sublane SHIFTS:
 and the pad columns double as the w-direction zero halo whenever
 d <= Wp - W (true for every ESPNetv2 stage at the bench shapes); larger
 dilations get static edge masks.  Channels never shift — depthwise taps are
-lane-vector multiplies; the grouped 1x1 convs are single [H*Wp, C] x [C, n]
-MXU dots with block-diagonal-densified kernels (the same trick as
-ops/grouped_conv.py, same numerics).
+lane-vector multiplies.
+
+1x1-conv FLOP accounting (v2): the proj runs as one [R, C] x [C, n] dot
+with a block-diagonal-densified kernel (ops/grouped_conv.py trick — its
+true-grouped form would be K dots with N = n/K <= 32, too narrow for the
+MXU).  The EXPAND does NOT densify: its group boundaries coincide exactly
+with the branch boundaries (groups = K, group width = n = C/K), so each
+post-BR branch [R, n] is dotted with its own [n, n] expand block — 4x fewer
+MXU FLOPs than the dense [C, C] dot at full lane width (n = 128 at C=512,
+64 at C=256), and the concat moves after the dots.  BN scales are folded
+into pw/ewg host-side (eesp_block_params), leaving only bias+PReLU VPU work
+in-kernel; branches with equal dilation (stage4's schedule is 1,1,2,3)
+share their h-shifted arrays.
 
 Eval-only: BatchNorms fold to per-channel affines from running statistics
 (training keeps the lax path, exactly like the fused pyramid-pool tail in
@@ -62,14 +72,19 @@ def _prelu(x, alpha):
     return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
-def _kernel(dilations, nb, n, c, wp, rimg, bb, need_mask, x_ref,
-            pw_ref, paff_ref, taps_ref, cataff_ref, ew_ref, eaff_ref,
+def _kernel(dilations, nb, n, c, wp, rimg, bb, need_mask, grouped, pack,
+            x_ref, pw_ref, paff_ref, taps_ref, cataff_ref, ew_ref, eaff_ref,
             alpha_ref, padmask_ref, hmask_ref, *mask_and_out):
     """One grid step = `bb` images through `nb` chained EESP units.
 
     x block [1, bb*R, C] (R = rimg = H*Wp flat pixel rows per image);
-    stacked params: pw [nb, C, n], paff [nb, 3, n], taps [nb, K*9, n],
-    cataff [nb, 3, C], ew [nb, C, C], eaff [nb, 2, C], alpha [nb, 1, C];
+    stacked params (BN scales pre-folded into pw/ew):
+    pw [nb, C, n], paff [nb, 2, n] (bias, PReLU alpha),
+    taps [nb, K*9, n], cataff [nb, ngrp, 3, gw*n] (per-super-group BR
+    affine+alpha; ngrp=1, gw*n=C on the dense path),
+    ew [nb, ngrp, gw*n, gw*n] when `grouped` (one block-diagonal expand
+    block per super-group of gw branches) else [nb, C, C] dense,
+    eaff [nb, 1, C] (bias), alpha [nb, 1, C];
     padmask [bb*R, 1]; hmask [bb*R, 2*n_dils] (per-dilation +/- h-shift
     image-boundary masks, zero where a shift crossed into the neighboring
     image in the stack); then one [bb*R, 2] edge mask per dilation in
@@ -86,25 +101,33 @@ def _kernel(dilations, nb, n, c, wp, rimg, bb, need_mask, x_ref,
                            preferred_element_type=jnp.float32).astype(cdt)
 
     padmask = padmask_ref[:].astype(cdt)            # [bb*R, 1]
-    x = x_ref[0]                                    # [bb*R, C]
+    if pack > 1:
+        # lane-pack `pack` images into branch-major order [(g0,img0),
+        # (g0,img1),(g1,img0),...], n0 lanes each (n0 = original branch
+        # width) — matches the packed params built by _prep
+        n0 = (c // pack) // k
+        x = jnp.concatenate(
+            [x_ref[j][:, g * n0:(g + 1) * n0]
+             for g in range(k) for j in range(pack)], axis=1)
+    else:
+        x = x_ref[0]                                # [bb*R, C]
     for bi in range(nb):
         pw = pw_ref[bi]
-        paff = paff_ref[bi].astype(cdt)             # [3, n]
-        cataff = cataff_ref[bi].astype(cdt)         # [3, C]
-        eaff = eaff_ref[bi].astype(cdt)             # [2, C]
+        paff = paff_ref[bi].astype(cdt)             # [2, n]
+        eaff = eaff_ref[bi].astype(cdt)             # [1, C]
         alpha = alpha_ref[bi, 0].astype(cdt)        # [C]
 
         y = dot(x, pw)                              # proj 1x1 [bb*R, n]
-        y = _prelu(y * paff[0][None, :] + paff[1][None, :],
-                   paff[2][None, :])
+        y = _prelu(y + paff[0][None, :], paff[1][None, :])
         # re-zero the Wp-W pad rows: they must stay an exact conv halo for
         # the shifts below (BN bias would otherwise leak into them)
         y = y * padmask
 
-        # h-shifts built on demand per branch (a shared all-dilation cache
-        # held 9-12 arrays live and pushed the VMEM stack over its limit),
-        # image-boundary masked (the mask column is all-zero when
-        # d*wp >= rimg: window fully padding)
+        # h-shifts shared between adjacent equal-dilation branches (the
+        # sorted schedule makes equal-d branches adjacent); a shared
+        # all-dilation cache held 9-12 arrays live and pushed the VMEM
+        # stack over its limit.  Image-boundary masked (the mask column is
+        # all-zero when d*wp >= rimg: window fully padding).
         def hshift(d, dy):
             if dy == 0:
                 return y
@@ -116,9 +139,13 @@ def _kernel(dilations, nb, n, c, wp, rimg, bb, need_mask, x_ref,
             col = dils.index(d) * 2 + (0 if dy > 0 else 1)
             return s * hmask_ref[:, col:col + 1].astype(cdt)
 
-        branches = []
+        hsh, prev_d = None, None
+        prev = None
+        parts = []
         for ki, d in enumerate(dilations):
-            hsh = {dy: hshift(d, dy) for dy in (-1, 0, 1)}
+            if d != prev_d:
+                hsh = {dy: hshift(d, dy) for dy in (-1, 0, 1)}
+                prev_d = d
             acc = None
             for ix in (-1, 0, 1):
                 inner = None
@@ -137,17 +164,44 @@ def _kernel(dilations, nb, n, c, wp, rimg, bb, need_mask, x_ref,
                         m = masks[d][:].astype(cdt)
                         inner = inner * (m[:, 1:2] if ix > 0 else m[:, 0:1])
                 acc = inner if acc is None else acc + inner
-            if branches:
-                acc = acc + branches[-1]            # HFF cumulative add
-            branches.append(acc)
-        cat = jnp.concatenate(branches, axis=1)     # [R, K*n = C]
-        cat = _prelu(cat * cataff[0][None, :] + cataff[1][None, :],
-                     cataff[2][None, :])
-        z = dot(cat, ew_ref[bi])                    # expand 1x1 [R, C]
-        z = z * eaff[0][None, :] + eaff[1][None, :]
+            if prev is not None:
+                acc = acc + prev                    # HFF cumulative add
+            prev = acc
+            parts.append(acc)
+        # post-concat BR + expand run on SUPER-GROUPS of `gw` branches
+        # (gw = ceil(128 / n)): narrow-n stages (n = 64 at C=256) would
+        # otherwise run the BR affine at half VPU width and the expand
+        # dots at half MXU lane width.  concat(BN(.)) == BN(concat(.))
+        # (per-channel affine), and the paired expand blocks are shipped
+        # pre-block-diagonalized ([gw*n, gw*n] per super-group) — 2x
+        # densification instead of the dense path's K x.
+        gw = (ew_ref.shape[2] // n) if grouped else 1
+        zparts = []
+        for g0 in range(0, k, gw) if grouped else ():
+            sg = (parts[g0] if gw == 1 else
+                  jnp.concatenate(parts[g0:g0 + gw], axis=1))
+            ca = cataff_ref[bi, g0 // gw].astype(cdt)   # [3, gw*n]
+            sg = _prelu(sg * ca[0][None, :] + ca[1][None, :],
+                        ca[2][None, :])
+            zparts.append(dot(sg, ew_ref[bi, g0 // gw]))
+        if grouped:
+            z = (zparts[0] if len(zparts) == 1 else
+                 jnp.concatenate(zparts, axis=1))   # [R, K*n = C]
+        else:
+            z = jnp.concatenate(parts, axis=1)
+            ca = cataff_ref[bi, 0].astype(cdt)      # [3, C]
+            z = _prelu(z * ca[0][None, :] + ca[1][None, :], ca[2][None, :])
+            z = dot(z, ew_ref[bi])                  # dense expand fallback
+        z = z + eaff[0][None, :]
         z = z + x                                   # residual
         x = _prelu(z, alpha[None, :])
-    out_ref[0] = x
+    if pack > 1:
+        for j in range(pack):
+            out_ref[j] = jnp.concatenate(
+                [x[:, (g * pack + j) * n0:(g * pack + j + 1) * n0]
+                 for g in range(k)], axis=1)
+    else:
+        out_ref[0] = x
 
 
 def _edge_masks(h: int, w: int, wp: int, dilations, dtype=np.float32):
@@ -173,17 +227,19 @@ def eesp_stage_fused_eval(
     dilations: Sequence[int],
     interpret: bool = False,
     max_blocks: int = 4,
+    images_per_step: int | None = None,
+    lane_pack: int | None = None,
 ) -> jnp.ndarray:
     """Run a chain of stride-1 EESP units (eval mode) as fused kernels.
 
-    x: [B, H, W, C]; blocks: per unit a dict with
-      pw   [C, n]   dense (block-diagonalized) proj weight
-      paff [3, n]   proj BN affine scale/bias + PReLU alpha
-      taps [K*9, n] branch depthwise taps (branch-major, row-major 3x3)
-      cataff [3, C] post-concat BN affine + PReLU alpha
-      ew   [C, C]   dense expand weight
-      eaff [2, C]   expand BN affine
-      alpha [C]     final PReLU
+    x: [B, H, W, C]; blocks: per unit a dict (BN scales pre-folded) with
+      pw   [C, n]     dense (block-diagonalized) proj weight * BN scale
+      paff [2, n]     proj BN bias + PReLU alpha
+      taps [K*9, n]   branch depthwise taps (branch-major, row-major 3x3)
+      cataff [K, 3, n] per-branch post-concat BN affine + PReLU alpha
+      ew   [K, n, n]  per-branch expand blocks (grouped) or [C, C] dense
+      eaff [1, C]     expand BN bias
+      alpha [C]       final PReLU
     Returns [B, H, W, C].
     """
     interpret = interpret or jax.default_backend() == "cpu"
@@ -192,19 +248,37 @@ def eesp_stage_fused_eval(
     n = c // k
     wp = -(-w // 8) * 8
     r = h * wp
-    # images per grid step: bigger arrays amortize per-op overhead (the
-    # per-image variant ran the MXU at low M-efficiency); bounded by VMEM
-    # block bytes capped at 1 MB: stage4-size blocks batch 2 images; the
-    # wider stage3 stays per-image (its bb=2 live set measured 35.6 MB
-    # against the 16 MB scoped-VMEM limit — in/out double buffers alone
-    # are 4x the block size)
-    bb = next((d for d in (4, 2)
-               if b % d == 0 and d * r * c * x.dtype.itemsize <= 1 << 20),
-              1)
+
+    grouped = blocks[0]["ew"].ndim == 3
+    assert all((blk["ew"].ndim == 3) == grouped for blk in blocks), \
+        "mixed grouped/dense expand weights in one stage"
+
+    # Lane packing: when the branch width n is below the 128-lane vector
+    # width, pack p = 128//n images side-by-side in lanes so every branch
+    # shift/tap op runs at full VPU width and the per-branch expand dots
+    # at full MXU lane width (p-fold block-diagonal blocks; same FLOPs as
+    # the super-grouped pairing, half the vector-op count).  The carried
+    # activation uses a BRANCH-MAJOR lane order [(g0,img0),(g0,img1),
+    # (g1,img0),...] so the residual add lines up with the expand output;
+    # the proj weight absorbs the permutation (see _pack_params).
+    pack = 1
+    if grouped and n < 128:
+        pack = lane_pack or max(1, 128 // n)
+        while pack > 1 and b % pack:
+            pack //= 2
+    # images per grid step (row stacking; only without lane packing):
+    # bigger arrays amortize per-op overhead, bounded by 1 MB block bytes
+    if pack > 1:
+        bb = 1
+    else:
+        bb = images_per_step or next(
+            (d for d in (4, 2)
+             if b % d == 0 and d * r * c * x.dtype.itemsize <= 1 << 20),
+            1)
     rb = bb * r
 
     xp = x if wp == w else jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
-    xf = xp.reshape(b // bb, rb, c)
+    xf = xp.reshape(b // bb, rb, c) if pack == 1 else xp.reshape(b, r, c)
 
     tile = lambda pat: jnp.asarray(np.tile(pat, bb)[:, None])
     padmask = tile(np.tile((np.arange(wp) < w).astype(np.float32), h))
@@ -225,21 +299,62 @@ def eesp_stage_fused_eval(
                                    (bb, 1)))
                for d in need_mask]
 
+    def _prep(blk):
+        """Per-unit param prep: lane packing or super-group coalescing."""
+        out = dict(blk)
+        if pack > 1:
+            eye = jnp.eye(pack, dtype=blk["pw"].dtype)
+            pwr = blk["pw"].reshape(k, n, n)
+            # rows branch-major (g, j, ci), cols image-major (j, co): the
+            # proj dot converts the carried branch-major x into the shared
+            # image-major y the taps/branch arrays use
+            out["pw"] = jnp.einsum("gio,jJ->gjiJo", pwr, eye).reshape(
+                pack * c, pack * n)
+            out["ew"] = jnp.einsum("gio,jJ->gjiJo", blk["ew"], eye).reshape(
+                k, pack * n, pack * n)
+            out["paff"] = jnp.tile(blk["paff"], (1, pack))
+            out["taps"] = jnp.tile(blk["taps"], (1, pack))
+            out["cataff"] = jnp.tile(blk["cataff"], (1, 1, pack))
+            out["eaff"] = jnp.tile(
+                blk["eaff"].reshape(1, k, 1, n), (1, 1, pack, 1)
+            ).reshape(1, pack * c)
+            out["alpha"] = jnp.tile(
+                blk["alpha"].reshape(k, 1, n), (1, pack, 1)
+            ).reshape(pack * c)
+        elif grouped and n < 128:
+            # coalesce branches into super-groups of gw = ceil(128/n) so
+            # the BR affine and expand dots run at full 128-lane width
+            # (gw-fold block-diagonal expand blocks: gw x densification,
+            # vs K x for the fully dense path)
+            gw = min(k, max(1, -(-128 // n)))
+            while k % gw:
+                gw += 1
+            ngrp = k // gw
+            eye = jnp.eye(gw, dtype=blk["ew"].dtype)
+            out["ew"] = jnp.einsum(
+                "sgio,gG->sgiGo", blk["ew"].reshape(ngrp, gw, n, n), eye
+            ).reshape(ngrp, gw * n, gw * n)
+            out["cataff"] = blk["cataff"].reshape(
+                ngrp, gw, 3, n).transpose(0, 2, 1, 3).reshape(ngrp, 3,
+                                                              gw * n)
+        return out
+
+    blocks = [_prep(blk) for blk in blocks]
     out = xf
     for b0 in range(0, len(blocks), max_blocks):
         grp = blocks[b0:b0 + max_blocks]
         nb = len(grp)
         stack = {key: jnp.stack([blk[key] for blk in grp])
                  for key in ("pw", "paff", "taps", "cataff", "ew", "eaff")}
-        alpha = jnp.stack([blk["alpha"][None, :] for blk in grp])  # [nb,1,C]
+        alpha = jnp.stack([blk["alpha"][None, :] for blk in grp])
         mdt = out.dtype
         full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
         out = pl.pallas_call(
-            partial(_kernel, tuple(dilations), nb, n, c, wp, r, bb,
-                    need_mask),
-            grid=(b // bb,),
+            partial(_kernel, tuple(dilations), nb, pack * n, pack * c, wp,
+                    r, bb, need_mask, grouped, pack),
+            grid=(b // (bb * pack),),
             in_specs=[
-                pl.BlockSpec((1, rb, c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((pack, rb, c), lambda i: (i, 0, 0)),
                 full(stack["pw"].shape),
                 full(stack["paff"].shape),
                 full(stack["taps"].shape),
@@ -251,8 +366,8 @@ def eesp_stage_fused_eval(
                 full(hmask.shape),
                 *[full(m.shape) for m in mask_in],
             ],
-            out_specs=pl.BlockSpec((1, rb, c), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b // bb, rb, c), out.dtype),
+            out_specs=pl.BlockSpec((pack, rb, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(xf.shape, out.dtype),
             interpret=interpret,
         )(out,
           stack["pw"].astype(mdt), stack["paff"], stack["taps"],
@@ -292,20 +407,32 @@ def eesp_block_params(pvars, svars, k: int) -> Dict[str, jnp.ndarray]:
     g_proj = c // proj_k.shape[2]
     pa, pb = _bn_affine(pvars["proj_1x1"]["CB_0"]["BatchNorm_0"],
                         svars["proj_1x1"]["CB_0"]["BatchNorm_0"])
-    paff = jnp.stack([pa, pb, pvars["proj_1x1"]["PReLU_0"]["alpha"]])
+    # BN scales fold into the conv weights host-side (out-channel scaling of
+    # a 1x1 conv == post-scale); the kernel applies bias + PReLU only
+    paff = jnp.stack([pb, pvars["proj_1x1"]["PReLU_0"]["alpha"]])
     ca, cb = _bn_affine(pvars["br_after_cat"]["BatchNorm_0"],
                         svars["br_after_cat"]["BatchNorm_0"])
-    cataff = jnp.stack([ca, cb, pvars["br_after_cat"]["PReLU_0"]["alpha"]])
+    cstack = jnp.stack([ca, cb, pvars["br_after_cat"]["PReLU_0"]["alpha"]])
     exp_k = pvars["conv_1x1_exp"]["C_0"]["Conv_0"]["kernel"]
     g_exp = c // exp_k.shape[2]
     ea, eb = _bn_affine(pvars["conv_1x1_exp"]["BatchNorm_0"],
                         svars["conv_1x1_exp"]["BatchNorm_0"])
+    if g_exp == k:
+        # grouped expand: input group g of the grouped 1x1 IS branch g
+        # (group width C/G == n) — ship one [n, n] block per branch; the
+        # stage function coalesces or lane-packs them to MXU/VPU widths
+        kg = exp_k[0, 0].reshape(n, k, n)                       # [in, G, out]
+        ew = kg.transpose(1, 0, 2) * ea.reshape(k, 1, n)        # [K, n, n]
+        cataff = cstack.reshape(3, k, n).transpose(1, 0, 2)     # [K, 3, n]
+    else:
+        ew = _dense_1x1(exp_k, g_exp) * ea[None, :]
+        cataff = cstack[None, :, :]                             # [1, 3, C]
     return {
-        "pw": _dense_1x1(proj_k, g_proj),
+        "pw": _dense_1x1(proj_k, g_proj) * pa[None, :],
         "paff": paff,
         "taps": taps,
         "cataff": cataff,
-        "ew": _dense_1x1(exp_k, g_exp),
-        "eaff": jnp.stack([ea, eb]),
+        "ew": ew,
+        "eaff": eb[None, :],
         "alpha": pvars["module_act"]["alpha"],
     }
