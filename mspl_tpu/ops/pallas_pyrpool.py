@@ -518,7 +518,7 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
     gh = h + _GAP
     xs_full = _stack_planes(planes, w)
 
-    vfs = []
+    merged = None
     for si, s in enumerate(scales):
         hs, ws = sizes[si]
         if s == 1.0:
@@ -547,11 +547,10 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
         vf = vf * a1[:, 0:1] + a1[:, 1:2]
         vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
         t = _dw3x3_rows(vf.astype(cdt), mw_exp[si][:]).astype(jnp.float32)
-        vfs.append(t)
-
-    merged = vfs[0]
-    for t in vfs[1:]:
-        merged = merged + t
+        # accumulate in place: holding all 5 branch outputs live (the old
+        # vfs list) cost ~4 extra f32 [gsz*gh, w] arrays of VMEM and was
+        # what kept the full-P (gsz == P) stack over the 16 MB scoped limit
+        merged = t if merged is None else merged + t
 
     merged = merged * aff2e[:, 0:1] + aff2e[:, 1:2]
     merged = (jnp.maximum(merged, 0.0)
@@ -569,6 +568,16 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
             term = mslices[c] * clsw[oc, c]
             acc = term if acc is None else acc + term
         return acc
+
+    if p // gsz == 1:
+        # full-P group: classify and finish in one pass — no cross-step
+        # accumulator scratch, no init/accum predication
+        tail = tail_ref[:].astype(jnp.float32)     # [4, O]
+        for oc in range(o):
+            y = _cls(oc) + tail[0, oc]
+            y = _prelu(y * tail[1, oc] + tail[2, oc], tail[3, oc])
+            out_ref[0, oc] = y.astype(out_ref.dtype)
+        return
 
     @pl.when(g == 0)
     def _init():
@@ -611,11 +620,12 @@ def pyr_pool_fused_eval_v2(
     interpret = interpret or jax.default_backend() == "cpu"
     b, h, w, p = x.shape
     # largest group size <=4 dividing P: bounds the stacked working set.
-    # A full-P stack still exceeds the 16 MB scoped-VMEM limit (21.9 MB
-    # measured at p=8, bench shape) even with the composed up-branches;
+    # A full-P stack exceeds the 16 MB scoped-VMEM limit even after the
+    # in-place merge accumulation (20.9 MB at p=8, bench shape, down from
+    # 21.9); the single-group fast path below still serves p <= 4 heads.
     # `gsz` overrides for A/B.
     if gsz is None:
-        gsz = next((d for d in (4, 3, 2) if p % d == 0), 1)
+        gsz = p if p <= 4 else next((d for d in (4, 3, 2) if p % d == 0), 1)
     if h % 8 != 0 or gsz == 1:
         return pyr_pool_fused_eval(
             x, dw_weights, aff1, merge_weights, aff2, cls_w, cls_b, aff3,
@@ -701,7 +711,10 @@ def pyr_pool_fused_eval_v2(
         ],
         out_specs=pl.BlockSpec((1, o, h, w), lambda i, g: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, o, h, w), x.dtype),
-        scratch_shapes=[pltpu.VMEM((o, h, w), jnp.float32)],
+        # the cross-group classifier accumulator is only needed with >1
+        # channel group; a token-sized scratch keeps the signature stable
+        scratch_shapes=[pltpu.VMEM(
+            (o, h, w) if p // gsz > 1 else (1, 8, 128), jnp.float32)],
         interpret=interpret,
     )(xp, clsw_g, tail, aff2_exp,
       *kernel_mats, *per_scale_in)
