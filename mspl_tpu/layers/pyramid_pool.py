@@ -123,7 +123,7 @@ class EfficientPyrPool(nn.Module):
             # (running stats), so the post-concat BN+PReLU, channel shuffle,
             # grouped merge, classifier and last BR all fold into the same
             # per-plane pass as the branch stack.
-            from mspl_tpu.ops.pallas_pyrpool import pyr_pool_fused_eval_v2
+            from mspl_tpu.ops.pallas_pyrpool import pyr_pool_fused_eval_v3
 
             v = self.variables
 
@@ -152,7 +152,7 @@ class EfficientPyrPool(nn.Module):
                 aff3 = jnp.stack([jnp.ones((o,)), jnp.zeros((o,)),
                                   jnp.ones((o,))])
             wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])
-            return pyr_pool_fused_eval_v2(
+            return pyr_pool_fused_eval_v3(
                 x, wstack.astype(jnp.float32), aff1.astype(jnp.float32),
                 merge_w.astype(jnp.float32), aff2.astype(jnp.float32),
                 cls_w.astype(jnp.float32), cls_b.astype(jnp.float32),

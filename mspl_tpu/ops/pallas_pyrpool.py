@@ -723,6 +723,232 @@ def pyr_pool_fused_eval_v2(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+def _tail_up_kernel_v3(scales, h, w, p, x_ref, *refs):
+    """Phase A of the split tail (pyr_pool_fused_eval_v3): the s >= 1.0
+    branches at FULL P (one grid step per image), emitting the partial
+    merge sum  sum_{s>=1} mergeDw(PReLU(aff1(branch_s)))  as [1, P, h, w].
+
+    Splitting the tail in two halves the per-op amortization problem: the
+    v2 kernel's gsz<=4 cap came from the UNION of the up-branch working
+    set (R/T composed-operator temporaries) and the down+classifier set
+    living in VMEM at once; each phase alone fits at full P, so every
+    whole-array op covers P channels instead of gsz.  The 1.0-scale
+    branch lives here because it shares xs_full with the up branches."""
+    out_ref = refs[-1]
+    cdt = x_ref.dtype
+    gh = h + _GAP
+    planes = [x_ref[0, c, :, :] for c in range(p)]
+    xs_full = _stack_planes(planes, w)
+    acc = None
+    ri = 0
+    for si, s in enumerate(scales):
+        if s < 1.0:
+            continue
+        if s > 1.0:
+            pm, qm, te, a1r, mwr = refs[ri:ri + 5]
+            ri += 5
+            vs = _composed_up_branch(xs_full, te[:], pm, qm, p, gh, h)
+        else:
+            te, a1r, mwr = refs[ri:ri + 3]
+            ri += 3
+            vs = _dw3x3_rows(xs_full, te[:])
+        a1 = a1r[:].astype(jnp.float32)
+        vf = vs.astype(jnp.float32)
+        vf = vf * a1[:, 0:1] + a1[:, 1:2]
+        vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
+        t = _dw3x3_rows(vf.astype(cdt), mwr[:]).astype(jnp.float32)
+        acc = t if acc is None else acc + t
+    for c in range(p):
+        out_ref[0, c] = acc[c * gh:c * gh + h, :].astype(out_ref.dtype)
+
+
+def _tail_rest_kernel_v3(scales, sizes, slots, h, w, p, o,
+                         x_ref, part_ref, clsw_ref, tail_ref, aff2e_ref,
+                         *rest):
+    """Phase B of the split tail: down-scale branches + phase A's
+    partial, post-merge affine/PReLU, classifier and tail — full P, one
+    grid step per image.  `rest`: per down-scale 4 resize mats, then per
+    down scale (taps_exp, aff1_exp, mw_exp), then out_ref."""
+    out_ref = rest[-1]
+    cdt = x_ref.dtype
+    gh = h + _GAP
+    mats = {}
+    mi = 0
+    for si, s in enumerate(scales):
+        if s < 1.0:
+            mats[si] = tuple(rest[mi + j] for j in range(4))
+            mi += 4
+    per_scale = rest[mi:-1]
+    clsw = clsw_ref[:].astype(jnp.float32)          # [O, P]
+    aff2e = aff2e_ref[:].astype(jnp.float32)        # [P*gh, 3]
+
+    def dot(a, b):
+        return jax.lax.dot(a.astype(cdt), b.astype(cdt),
+                           preferred_element_type=jnp.float32).astype(cdt)
+
+    planes = [x_ref[0, c, :, :] for c in range(p)]
+    # the phase-A partial joins the merge sum (cast cost is one pass; in
+    # production the partial is bf16 — one extra rounding of the s>=1
+    # half-sum, within the bf16 logit noise floor; the f32 CPU/parity path
+    # carries f32 end-to-end)
+    merged = _stack_planes([part_ref[0, c, :, :] for c in range(p)],
+                           w).astype(jnp.float32)
+    pi = 0
+    for si, s in enumerate(scales):
+        if s >= 1.0:
+            continue
+        te, a1r, mwr = per_scale[pi:pi + 3]
+        pi += 3
+        down_h, down_wT, up_h, up_wT = mats[si]
+        slot = slots[si]
+        ws = sizes[si][1]
+        ys = jnp.concatenate([dot(down_h[:], pl_) for pl_ in planes],
+                             axis=0)
+        ys = dot(ys, down_wT[:])                # [P*slot, ws]
+        ys = _dw3x3_rows(ys, te[:])
+        ups = [dot(up_h[:], ys[j * slot:(j + 1) * slot, :])
+               for j in range(p)]
+        vs = _stack_planes(ups, ws)
+        vs = dot(vs, up_wT[:])                  # [P*gh, w]
+        a1 = a1r[:].astype(jnp.float32)
+        vf = vs.astype(jnp.float32)
+        vf = vf * a1[:, 0:1] + a1[:, 1:2]
+        vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
+        merged = merged + _dw3x3_rows(vf.astype(cdt),
+                                      mwr[:]).astype(jnp.float32)
+
+    merged = merged * aff2e[:, 0:1] + aff2e[:, 1:2]
+    merged = (jnp.maximum(merged, 0.0)
+              + aff2e[:, 2:3] * jnp.minimum(merged, 0.0))
+    mslices = [merged[c * gh:c * gh + h, :] for c in range(p)]
+    tail = tail_ref[:].astype(jnp.float32)          # [4, O]
+    for oc in range(o):
+        acc = None
+        for c in range(p):
+            term = mslices[c] * clsw[oc, c]
+            acc = term if acc is None else acc + term
+        y = acc + tail[0, oc]
+        y = _prelu(y * tail[1, oc] + tail[2, oc], tail[3, oc])
+        out_ref[0, oc] = y.astype(out_ref.dtype)
+
+
+def pyr_pool_fused_eval_v3(
+    x: jnp.ndarray,
+    dw_weights: jnp.ndarray,
+    aff1: jnp.ndarray,
+    merge_weights: jnp.ndarray,
+    aff2: jnp.ndarray,
+    cls_w: jnp.ndarray,
+    cls_b: jnp.ndarray,
+    aff3: jnp.ndarray,
+    scales: Sequence[float],
+    interpret: bool = False,
+    channel_major_out: bool = False,
+) -> jnp.ndarray:
+    """Split-tail variant of pyr_pool_fused_eval_v2 (same contract): two
+    full-P kernels — up-scale branches emit a partial merge sum, the rest
+    kernel finishes (1.0/down branches, merge affine/PReLU, classifier).
+    Falls back to v2 when the full-P stack would not fit VMEM."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, h, w, p = x.shape
+    gh = h + _GAP
+    # full-P guard: measured scoped-VMEM at the bench shape (h=128, w=240,
+    # bf16): p=8 fits both phases; p=9 puts phase A at 18.2 MB — fall back
+    if h % 8 != 0 or p * gh * -(-w // 128) > 2200 \
+            or not any(s >= 1.0 for s in scales):
+        return pyr_pool_fused_eval_v2(
+            x, dw_weights, aff1, merge_weights, aff2, cls_w, cls_b, aff3,
+            scales, interpret=interpret, channel_major_out=channel_major_out)
+    s_n = len(scales)
+    o = cls_w.shape[1]
+    sizes = _branch_sizes(h, w, scales)
+    slots = tuple(
+        h + _GAP if s >= 1.0 else _slot(sizes[si][0])
+        for si, s in enumerate(scales)
+    )
+    mdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+
+    up_mats, down_mats = {}, {}
+    for si, s in enumerate(scales):
+        hs, ws = sizes[si]
+        if s > 1.0:
+            P, Q = _composed_up_mats(h, w, hs, ws)
+            up_mats[si] = (jnp.asarray(P, mdt), jnp.asarray(Q, mdt))
+        elif s < 1.0:
+            dh = _adaptive_avg_matrix(h, hs)
+            dw_ = _adaptive_avg_matrix(w, ws)
+            uh = _interp_matrix(hs, h, True)
+            uw = _interp_matrix(ws, w, True)
+            pad = slots[si] - hs
+            dh = np.pad(dh, ((0, pad), (0, 0)))
+            uh = np.pad(uh, ((0, 0), (0, pad)))
+            down_mats[si] = (jnp.asarray(dh, mdt), jnp.asarray(dw_.T, mdt),
+                             jnp.asarray(uh, mdt), jnp.asarray(uw.T, mdt))
+
+    taps = dw_weights.astype(jnp.float32).reshape(s_n, 9, p)
+    taps_exp = [
+        _expand_rows(taps[si].T, h if s >= 1.0 else sizes[si][0], slots[si])
+        for si, s in enumerate(scales)
+    ]
+    aff1_r = aff1.astype(jnp.float32).reshape(3, s_n, p)
+    aff1_exp = [_expand_rows(aff1_r[:, si, :].T, h) for si in range(s_n)]
+    mw_r = merge_weights.astype(jnp.float32).reshape(9, s_n, p)
+    mw_exp = [_expand_rows(mw_r[:, si, :].T, h) for si in range(s_n)]
+    aff2_exp = _expand_rows(aff2.astype(jnp.float32).T, h)
+    clsw_t = cls_w.astype(jnp.float32).T            # [O, P]
+    tail = jnp.concatenate([cls_b[None, :], aff3], axis=0)
+
+    xp = jnp.transpose(x, (0, 3, 1, 2))             # [B, P, H, W]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    img = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1))
+
+    up_in, up_specs = [], []
+    for si, s in enumerate(scales):
+        if s < 1.0:
+            continue
+        if s > 1.0:
+            up_in += [up_mats[si][0], up_mats[si][1]]
+            up_specs += [full(up_mats[si][0].shape),
+                         full(up_mats[si][1].shape)]
+        up_in += [taps_exp[si], aff1_exp[si], mw_exp[si]]
+        up_specs += [full(taps_exp[si].shape), full(aff1_exp[si].shape),
+                     full(mw_exp[si].shape)]
+    part = pl.pallas_call(
+        partial(_tail_up_kernel_v3, tuple(scales), h, w, p),
+        grid=(b,),
+        in_specs=[img((1, p, h, w)), *up_specs],
+        out_specs=img((1, p, h, w)),
+        out_shape=jax.ShapeDtypeStruct((b, p, h, w), x.dtype),
+        interpret=interpret,
+    )(xp, *up_in)
+
+    rest_in, rest_specs = [], []
+    for si, s in enumerate(scales):
+        if s < 1.0:
+            rest_in += list(down_mats[si])
+            rest_specs += [full(m.shape) for m in down_mats[si]]
+    for si, s in enumerate(scales):
+        if s >= 1.0:
+            continue
+        rest_in += [taps_exp[si], aff1_exp[si], mw_exp[si]]
+        rest_specs += [full(taps_exp[si].shape), full(aff1_exp[si].shape),
+                       full(mw_exp[si].shape)]
+    out = pl.pallas_call(
+        partial(_tail_rest_kernel_v3, tuple(scales), sizes, slots, h, w,
+                p, o),
+        grid=(b,),
+        in_specs=[img((1, p, h, w)), img((1, p, h, w)),
+                  full(clsw_t.shape), full(tail.shape),
+                  full(aff2_exp.shape), *rest_specs],
+        out_specs=img((1, o, h, w)),
+        out_shape=jax.ShapeDtypeStruct((b, o, h, w), x.dtype),
+        interpret=interpret,
+    )(xp, part, clsw_t, tail, aff2_exp, *rest_in)
+    if channel_major_out:
+        return out
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 def _pyr_branches_impl(
     x: jnp.ndarray,
     weights: jnp.ndarray,

@@ -70,6 +70,36 @@ def bench_pyrpool_tail():
 
 BENCHES = {"pyrpool_tail": bench_pyrpool_tail}
 
+
+def bench_pyrpool_tail_v3():
+    """Split-tail v3 vs v2 at the production head shapes, with a
+    numerical cross-check."""
+    import jax
+
+    from mspl_tpu.ops.pallas_pyrpool import (pyr_pool_fused_eval_v2,
+                                             pyr_pool_fused_eval_v3)
+
+    for o, p in ((11, 8), (19, 9), (5, 8)):
+        a = pyrpool_tail_args(o=o, p=p)
+
+        def call(fn, x, a=a):
+            return fn(x, a["dw_weights"], a["aff1"], a["merge_weights"],
+                      a["aff2"], a["cls_w"], a["cls_b"], a["aff3"],
+                      a["scales"], channel_major_out=True)
+
+        f2 = jax.jit(lambda x: call(pyr_pool_fused_eval_v2, x))
+        f3 = jax.jit(lambda x: call(pyr_pool_fused_eval_v3, x))
+        want = np.asarray(f2(a["x"]), np.float32)
+        got = np.asarray(f3(a["x"]), np.float32)
+        err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+        ms2 = timed(f2, a["x"])
+        ms3 = timed(f3, a["x"])
+        print(f"tail o={o} p={p}: v2 {ms2:.3f} ms  v3 {ms3:.3f} ms "
+              f"(rel err {err:.0e})")
+
+
+BENCHES["pyrpool_tail_v3"] = bench_pyrpool_tail_v3
+
 def bench_pyrpool_branches():
     """Branch stack only (no tail) at the bu_dec_l4 shape — isolates the
     branch cost from the merge/classify tail."""
