@@ -17,7 +17,11 @@ on the v5e (ESPNetv2-s2.0 fwd, batch 128, 256x480, bf16):
 
 * grouped (non-depthwise) conv -> **dense conv with a block-diagonal
   kernel**: wastes a factor-G of MXU-riding FLOPs but takes XLA's fast
-  dense-conv path with clean layouts (whole fwd 157 -> 133 ms);
+  dense-conv path with clean layouts (whole fwd 157 -> 133 ms).  r2
+  re-check (tools/exp_grouped_1x1.py): per-group lane-slice dots + concat
+  (4x fewer MXU FLOPs, exact) measure 5.39 vs 5.44 ms on the stage4 chain
+  and 5.89 vs 5.74 on stage3 — the stages are HBM-bound under XLA, so the
+  densification FLOPs are free; densify stays;
 * depthwise conv -> native ``lax.conv_general_dilated``: inside a jitted
   model XLA's depthwise lowering fuses well; hand-written shifted-tap
   multiply-accumulate loses whole-model (179 ms) despite winning isolated;
