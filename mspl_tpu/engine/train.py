@@ -30,6 +30,7 @@ from flax.training import train_state
 from mspl_tpu.data.transforms import normalize, train_transform
 from mspl_tpu.engine.losses import segmentation_loss
 from mspl_tpu.engine.metrics import MIOU, confusion_matrix
+from mspl_tpu.engine.packing import StatePacker
 from mspl_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from mspl_tpu.utils.checkpoint import has_checkpoint, load_checkpoint, save_checkpoint
 from mspl_tpu.utils.print_utils import print_info_message, print_log_message
@@ -80,8 +81,18 @@ def make_train_step(
     remat: bool = False,
     bn_groups: int = 1,
     donate: bool = True,
+    packer: Optional[StatePacker] = None,
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics) train step.
+
+    ``packer``: when given (a `StatePacker` built from the example state),
+    the returned step instead maps (packed_state, batch, rng) ->
+    (packed_state, metrics), with the state crossing the dispatch boundary
+    as one flat buffer per dtype (~3 leaves instead of ~756) and
+    unpack/repack fused into the jitted program.  This removes the
+    per-buffer dispatch overhead that dominated the step's wall time on
+    the remote-TPU runtime (see `engine/packing.py`); the math is
+    identical.
 
     ``remat=True`` wraps the forward in ``jax.checkpoint`` so the backward
     recomputes activations instead of holding them in HBM — the standard
@@ -141,13 +152,26 @@ def make_train_step(
         metrics = {"loss": loss}
         return state, metrics
 
+    if packer is not None:
+        def packed_step(packed: Dict, batch: Dict, rng: jax.Array):
+            new_state, metrics = step(packer.unpack(packed), batch, rng)
+            return packer.pack(new_state), metrics
+
+        return jax.jit(packed_step, donate_argnums=0 if donate else ())
+
     # donate=False exists for tooling: the axon profiler errors on programs
     # with donated/aliased buffers (tools/tpu_profile.py)
     return jax.jit(step, donate_argnums=0 if donate else ())
 
 
-def make_eval_step(model, num_classes: int, mean=None, std=None):
-    """Returns jitted (params, batch_stats, batch) -> confusion matrix [C,C]."""
+def make_eval_step(model, num_classes: int, mean=None, std=None,
+                   packer: Optional[StatePacker] = None):
+    """Returns jitted (params, batch_stats, batch) -> confusion matrix [C,C].
+
+    With ``packer``, the first argument is instead the PACKED train state
+    (`batch_stats` is ignored — it lives inside the packed state); the
+    call signature stays 3-ary so `evaluate` drives both forms.
+    """
     norm_kw = {}
     if mean is not None:
         norm_kw["mean"] = mean
@@ -155,6 +179,9 @@ def make_eval_step(model, num_classes: int, mean=None, std=None):
         norm_kw["std"] = std
 
     def step(params, batch_stats, batch):
+        if packer is not None:
+            state = packer.unpack(params)
+            params, batch_stats = state.params, state.batch_stats
         imgs = normalize(batch["image"], **norm_kw)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, imgs, train=False
@@ -214,6 +241,9 @@ class TrainLoopConfig:
     # BN statistics scope: 1 = global-batch (synced, default); N>1 = per
     # contiguous batch group (unsynced / per-replica semantics)
     bn_groups: int = 1
+    # thread the state through dispatch as flat per-dtype buffers
+    # (engine/packing.py); identical math, off switch for debugging only
+    pack_dispatch: bool = True
 
 
 def train_segmentation(
@@ -258,13 +288,19 @@ def train_segmentation(
                                f"best mIoU {best_miou:.4f}")
 
     state = replicate(state, mesh)
+    packer = StatePacker(state) if cfg.pack_dispatch else None
     train_step = make_train_step(
         model, crop_hw=cfg.crop_hw, scale_range=cfg.scale_range,
         class_weights=class_weights, reg_mode=cfg.reg_mode,
         reg_weight=cfg.reg_weight, augment=cfg.augment, remat=cfg.remat,
-        bn_groups=cfg.bn_groups,
+        bn_groups=cfg.bn_groups, packer=packer,
     )
-    eval_step = make_eval_step(model, num_classes)
+    eval_step = make_eval_step(model, num_classes, packer=packer)
+    if packer is not None:
+        unpack = jax.jit(packer.unpack)
+        state = jax.jit(packer.pack)(state)
+    else:
+        unpack = lambda s: s  # noqa: E731
     logger = ScalarLogger(cfg.log_dir)
     # per-step rng is fold_in(base, global_step): a resumed process
     # reproduces the uninterrupted run's augmentation stream exactly
@@ -293,7 +329,7 @@ def train_segmentation(
                     and done_in_epoch < steps_per_epoch
                     and done_in_epoch % cfg.ckpt_every_steps == 0):
                 save_checkpoint(
-                    cfg.ckpt_dir, state,
+                    cfg.ckpt_dir, unpack(state),
                     {"epoch": epoch, "step_in_epoch": done_in_epoch,
                      "best_miou": best_miou})
             if cfg.max_steps is not None and step_i + 1 >= cfg.max_steps:
@@ -308,7 +344,8 @@ def train_segmentation(
 
         miou = None
         if val_loader is not None and (epoch + 1) % cfg.eval_every == 0:
-            _, miou = evaluate(eval_step, state, state.batch_stats, val_loader,
+            bs = None if packer is not None else state.batch_stats
+            _, miou = evaluate(eval_step, state, bs, val_loader,
                                num_classes, mesh)
             logger.add_scalar("val/miou", miou, epoch)
 
@@ -317,7 +354,7 @@ def train_segmentation(
             best_miou = miou
         if cfg.ckpt_dir:
             save_checkpoint(
-                cfg.ckpt_dir, state,
+                cfg.ckpt_dir, unpack(state),
                 {"epoch": epoch, "best_miou": best_miou,
                  "miou": miou if miou is not None else -1.0},
                 is_best=is_best,
@@ -331,4 +368,5 @@ def train_segmentation(
             )
 
     logger.close()
-    return {"state": state, "best_miou": best_miou, "history": history}
+    return {"state": unpack(state), "best_miou": best_miou,
+            "history": history}

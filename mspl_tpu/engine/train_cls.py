@@ -28,7 +28,9 @@ from mspl_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from mspl_tpu.utils.print_utils import print_log_message
 
 
-def make_cls_train_step(model, mean=None, std=None):
+def make_cls_train_step(model, mean=None, std=None, packer=None):
+    """With ``packer`` (engine/packing.py) the state crosses dispatch as
+    flat per-dtype buffers — see make_train_step's note; identical math."""
     norm_kw = {k: v for k, v in (("mean", mean), ("std", std)) if v is not None}
 
     def step(state: TrainState, batch: Dict, rng: jax.Array):
@@ -52,13 +54,23 @@ def make_cls_train_step(model, mean=None, std=None):
         state = state.replace(batch_stats=mutated["batch_stats"])
         return state, {"loss": loss, "acc": acc}
 
+    if packer is not None:
+        def packed_step(packed, batch, rng):
+            new_state, metrics = step(packer.unpack(packed), batch, rng)
+            return packer.pack(new_state), metrics
+
+        return jax.jit(packed_step, donate_argnums=0)
+
     return jax.jit(step, donate_argnums=0)
 
 
-def make_cls_eval_step(model, mean=None, std=None):
+def make_cls_eval_step(model, mean=None, std=None, packer=None):
     norm_kw = {k: v for k, v in (("mean", mean), ("std", std)) if v is not None}
 
     def step(params, batch_stats, batch):
+        if packer is not None:
+            state = packer.unpack(params)
+            params, batch_stats = state.params, state.batch_stats
         imgs = normalize(batch["image"], **norm_kw)
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, imgs, train=False)
@@ -93,9 +105,14 @@ def train_classification(model, variables, train_loader, val_loader,
                               steps_per_epoch=steps_per_epoch)
     tx = build_optimizer(cfg.optimizer, schedule, cfg.momentum,
                          cfg.weight_decay)
+    from mspl_tpu.engine.packing import StatePacker
+
     state = replicate(create_train_state(model, variables, tx), mesh)
-    train_step = make_cls_train_step(model)
-    eval_step = make_cls_eval_step(model)
+    packer = StatePacker(state)
+    train_step = make_cls_train_step(model, packer=packer)
+    eval_step = make_cls_eval_step(model, packer=packer)
+    state = jax.jit(packer.pack)(state)
+    unpack = jax.jit(packer.unpack)
 
     rng = jax.random.PRNGKey(cfg.seed)
     history = []
@@ -114,7 +131,7 @@ def train_classification(model, variables, train_loader, val_loader,
             num, den = 0, 0
             for batch in val_loader:
                 batch = shard_batch(batch, mesh)
-                c, t = eval_step(state.params, state.batch_stats, batch)
+                c, t = eval_step(state, None, batch)
                 num += int(c)
                 den += int(t)
             acc = num / max(den, 1)
@@ -124,7 +141,7 @@ def train_classification(model, variables, train_loader, val_loader,
             print_log_message(
                 f"cls epoch {epoch}: loss {loss:.4f}"
                 + (f" val acc {acc:.4f}" if acc is not None else ""))
-    return {"state": state, "history": history, "best_acc": best_acc}
+    return {"state": unpack(state), "history": history, "best_acc": best_acc}
 
 
 def encoder_variables_from_classifier(cls_variables: Dict) -> Dict:

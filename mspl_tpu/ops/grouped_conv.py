@@ -124,6 +124,14 @@ def grouped_conv2d(
     # (measured: full fwd 133 ms native vs 179 ms shift-tap at batch 128).
     # The pathological timings in the header are for *isolated* depthwise
     # ops, which get unlucky standalone layouts.
+    #
+    # Rejected (r2): a custom VJP computing the depthwise WEIGHT grad as
+    # kh*kw strided-slice multiply-reduces (and the data grad as the
+    # flipped-kernel conv).  Gradients matched XLA's AD exactly, but the
+    # packed train step measured 189.3 ms vs 163.7 ms without it at
+    # batch 64 — the 9 whole-tensor slice+reduce passes (31 ms of %slice
+    # in the device trace) cost more than XLA's fused transposed-conv
+    # weight grad.  XLA's AD stays.
     return jax.lax.conv_general_dilated(
         x, kernel, stride, [(ph, ph), (pw, pw)], rhs_dilation=dilation,
         feature_group_count=groups,

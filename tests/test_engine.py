@@ -238,3 +238,100 @@ def test_remat_step_matches_plain():
                     jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_packed_state_roundtrip_bit_exact():
+    """StatePacker.pack/unpack must round-trip the full TrainState
+    bit-exactly, including the non-float leaves (step, optimizer count) —
+    unlike ravel_pytree it never casts across dtypes."""
+    import optax
+
+    from mspl_tpu.engine.packing import StatePacker
+
+    model = ESPNetv2Segmentation(num_classes=3, s=0.5, dec_base_planes=8)
+    variables = init_model(model, (16, 24))
+    tx = build_optimizer("sgd", optax.constant_schedule(1e-2))
+    state = create_train_state(model, variables, tx)
+
+    packer = StatePacker(state)
+    assert packer.n_buffers <= 3  # f32 + int dtypes only
+    packed = jax.jit(packer.pack)(state)
+    assert sum(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda x: x.size, packed))) == sum(
+        jnp.asarray(l).size for l in jax.tree_util.tree_leaves(state))
+    back = jax.jit(packer.unpack)(packed)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(back)):
+        # python-scalar leaves (fresh TrainState.step = 0) canonicalize to
+        # int32 arrays in the round trip; array leaves keep their dtype
+        a, b = np.asarray(jnp.asarray(a)), np.asarray(b)
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)
+
+
+def test_packed_train_step_matches_plain():
+    """The packed-dispatch step (TrainLoopConfig.pack_dispatch) is the same
+    program with pack/unpack fused in: identical loss, params, batch_stats,
+    and eval confusion matrix after two steps."""
+    import optax
+
+    from mspl_tpu.engine.packing import StatePacker
+
+    rng = np.random.RandomState(1)
+    model = ESPNetv2Segmentation(num_classes=3, s=0.5, dec_base_planes=8)
+    variables = init_model(model, (16, 24))
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (4, 16, 24, 3)), jnp.uint8),
+        "label": jnp.asarray(rng.randint(0, 3, (4, 16, 24)), jnp.int32),
+        "valid": jnp.ones((4,), bool),
+    }
+    key = jax.random.PRNGKey(0)
+
+    def run(packed: bool):
+        tx = build_optimizer("sgd", optax.constant_schedule(1e-2))
+        vcopy = jax.tree_util.tree_map(jnp.array, variables)
+        state = create_train_state(model, vcopy, tx)
+        packer = StatePacker(state) if packed else None
+        step = make_train_step(model, crop_hw=(16, 24),
+                               scale_range=(0.9, 1.1), packer=packer)
+        losses = []
+        if packed:
+            state = jax.jit(packer.pack)(state)
+        for i in range(2):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        if packed:
+            state = jax.jit(packer.unpack)(state)
+        estep = make_eval_step(model, 3)
+        cm = np.asarray(estep(state.params, state.batch_stats, batch))
+        return losses, state, cm
+
+    (l0, s0, cm0), (l1, s1, cm1) = run(False), run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_array_equal(cm0, cm1)
+    assert int(s1.step) == 2
+    for a, b in zip(jax.tree_util.tree_leaves((s0.params, s0.batch_stats)),
+                    jax.tree_util.tree_leaves((s1.params, s1.batch_stats))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_packed_eval_step_matches_plain():
+    import optax
+
+    from mspl_tpu.engine.packing import StatePacker
+
+    rng = np.random.RandomState(2)
+    model = ESPNetv2Segmentation(num_classes=3, s=0.5, dec_base_planes=8)
+    variables = init_model(model, (16, 24))
+    tx = build_optimizer("sgd", optax.constant_schedule(1e-2))
+    state = create_train_state(model, variables, tx)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (4, 16, 24, 3)), jnp.uint8),
+        "label": jnp.asarray(rng.randint(0, 3, (4, 16, 24)), jnp.int32),
+    }
+    plain = make_eval_step(model, 3)(state.params, state.batch_stats, batch)
+    packer = StatePacker(state)
+    packed = jax.jit(packer.pack)(state)
+    viapack = make_eval_step(model, 3, packer=packer)(packed, None, batch)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(viapack))
