@@ -848,7 +848,17 @@ def pyr_pool_fused_eval_v3(
     """Split-tail variant of pyr_pool_fused_eval_v2 (same contract): two
     full-P kernels — up-scale branches emit a partial merge sum, the rest
     kernel finishes (1.0/down branches, merge affine/PReLU, classifier).
-    Falls back to v2 when the full-P stack would not fit VMEM."""
+    Falls back to v2 when the full-P stack would not fit VMEM.
+
+    Rejected (r2): moving the classifier OUT of phase B.  The in-kernel
+    per-(oc, c) plane loop is the expensive part of the O=19/P=9 head
+    (6.0 ms in-trace vs 1.9 at O=11 — op-issue bound, ~342 small [h,w]
+    VPU ops/image), but every split attempt lost the VMEM residence of
+    `merged` and measured worse end-to-end: phase B emitting [B,P,h,w]
+    + XLA "po,bphw->bohw" einsum classifier 1391 img/s (the dot
+    normalizes batch dims and pays a full [B,O,H,W] transpose); + a
+    dedicated plane-loop classifier kernel 1418.6; + a broadcast-slab
+    [O*h, w] classifier kernel 1397.9; integrated baseline 1441.5."""
     interpret = interpret or jax.default_backend() == "cpu"
     b, h, w, p = x.shape
     gh = h + _GAP
