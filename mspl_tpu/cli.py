@@ -329,9 +329,24 @@ def _load_sources(ckpts, num_target: int):
         model, variables, meta = load_model_checkpoint(c)
         sources.append(
             make_source(meta["dataset"], model, variables, meta["dataset"],
-                        num_target=num_target, channel_major=channel_major)
+                        num_target=num_target, channel_major=channel_major,
+                        in_channels=int(meta.get("in_channels", 3)))
         )
     return sources
+
+
+def _production_mesh(batch_size: int, model_parallel: int = 1):
+    """(model, data) mesh for the generation/self-training entry points
+    (SURVEY.md §2 parallelism table; BASELINE.json:5 "pmap DP over a TPU
+    slice").  Returns None on a single device with no model parallelism —
+    the unsharded path avoids shard_map overhead on one chip."""
+    import jax
+
+    if jax.device_count() == 1 and model_parallel <= 1:
+        return None
+    from mspl_tpu.parallel.mesh import make_mesh_for_batch
+
+    return make_mesh_for_batch(batch_size, model=model_parallel)
 
 
 def cmd_pseudo(args) -> Dict:
@@ -346,7 +361,8 @@ def cmd_pseudo(args) -> Dict:
     t = info.num_classes
     sources = _load_sources(args.checkpoints, t)
     ds = GreenhouseRGBD(args.data_root, args.target_list,
-                        size_wh=tuple(args.size) if args.size else None)
+                        size_wh=tuple(args.size) if args.size else None,
+                        use_depth=getattr(args, "rgbd", False))
     loader = DataLoader(ds, args.batch_size)
     conf_mode = args.conf_mode
     threshold = args.threshold
@@ -355,9 +371,13 @@ def cmd_pseudo(args) -> Dict:
         # H/ln(T+1) exceeds TAU, i.e. keeps conf = 1 - H/ln(T+1) >= 1 - TAU
         conf_mode = "entropy"
         threshold = 1.0 - args.entropy_threshold
+    mesh = _production_mesh(args.batch_size,
+                            getattr(args, "model_parallel", 1))
+    if mesh is not None:
+        print_info_message(f"generation mesh: {dict(mesh.shape)}")
     labels, confs, indices = generate_pseudo_labels(
         sources, loader, mode=args.fusion, use_pallas=args.pallas,
-        conf_mode=conf_mode)
+        conf_mode=conf_mode, min_agree=args.min_agree, mesh=mesh)
 
     if args.p is not None:  # class-balanced thresholds
         kc = sweep_kc(labels, confs, t, args.p)
@@ -403,26 +423,34 @@ def cmd_selftrain(args) -> Dict:
     t = info.num_classes
     sources = _load_sources(args.checkpoints, t)
     size_wh = tuple(args.size) if args.size else None
+    use_depth = getattr(args, "rgbd", False)
     target_ds = GreenhouseRGBD(args.data_root, args.target_list,
-                               size_wh=size_wh)
+                               size_wh=size_wh, use_depth=use_depth)
     val_loader = None
     if args.val_list:
         val_ds = GreenhouseRGBD(args.data_root, args.val_list,
-                                size_wh=size_wh)
+                                size_wh=size_wh, use_depth=use_depth)
         val_loader = DataLoader(val_ds, args.batch_size)
 
+    in_ch = target_ds.channels
     if args.init_checkpoint:
-        model, variables, _ = load_model_checkpoint(args.init_checkpoint)
+        model, variables, imeta = load_model_checkpoint(args.init_checkpoint)
+        ck_ch = int(imeta.get("in_channels", 3))
+        if ck_ch != in_ch:
+            raise SystemExit(
+                f"--init-checkpoint stem takes {ck_ch} channels but the "
+                f"target set provides {in_ch} (--rgbd mismatch)")
     else:
         model = build_segmentation_model(
             args.model, num_classes=t, s=args.s,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-        variables = init_model(model, target_ds.shape_hw)
+        variables = init_model(model, target_ds.shape_hw, channels=in_ch)
 
     crop_wh = args.crop_size or size_wh or info.size_wh
     cfg = SelfTrainConfig(
         rounds=args.rounds, p_init=args.p_init, p_step=args.p_step,
         fusion=args.fusion, conf_mode=args.conf_mode,
+        min_agree=args.min_agree,
         batch_size=args.batch_size,
         epochs_per_round=args.epochs, crop_hw=(crop_wh[1], crop_wh[0]),
         lr=args.lr, optimizer=args.optimizer, scheduler=args.scheduler,
@@ -430,13 +458,17 @@ def cmd_selftrain(args) -> Dict:
         reg_weight=args.reg_weight, seed=args.seed, out_dir=args.out_dir,
         ckpt_dir=args.ckpt_dir, use_pallas=args.pallas,
     )
+    mesh = _production_mesh(args.batch_size,
+                            getattr(args, "model_parallel", 1))
+    if mesh is not None:
+        print_info_message(f"self-training mesh: {dict(mesh.shape)}")
     res = self_training(model, variables, sources, target_ds, val_loader, t,
-                        cfg)
+                        cfg, mesh=mesh)
     _save_model(
         args.ckpt_dir or "./runs/selftrain", res["variables"],
         {"dataset": "greenhouse", "model": args.model, "s": args.s,
          "num_classes": t, "bf16": args.bf16,
-         "input_hw": list(target_ds.shape_hw),
+         "input_hw": list(target_ds.shape_hw), "in_channels": in_ch,
          "best_miou": res["best_miou"]},
     )
     print_info_message(f"self-training done; best mIoU {res['best_miou']:.4f}")
@@ -489,6 +521,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--target-list", required=True)
     g.add_argument("--out-dir", required=True)
     g.add_argument("--fusion", default="soft", choices=FUSION_MODES)
+    g.add_argument("--min-agree", type=int, default=None,
+                   help="hard fusion: minimum models that must agree on a "
+                        "pixel (default strict majority; SURVEY.md App. A)")
+    g.add_argument("--model-parallel", type=int, default=1,
+                   help="place sources across a 'model' mesh axis of this "
+                        "size (data parallelism uses the remaining devices)")
+    g.add_argument("--rgbd", action="store_true",
+                   help="greenhouse RGB-D target list ('rgb depth' lines); "
+                        "3-channel sources see the RGB slice")
     g.add_argument("--conf-mode", default="prob", choices=CONF_MODES,
                    help="confidence family for thresholding: max-probability "
                         "or normalized anti-entropy (BASELINE.json:5 "
@@ -521,6 +562,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--p-step", type=float, default=0.05)
     s.add_argument("--fusion", default="soft", choices=FUSION_MODES)
     s.add_argument("--conf-mode", default="prob", choices=CONF_MODES)
+    s.add_argument("--min-agree", type=int, default=None,
+                   help="hard fusion: minimum models that must agree on a "
+                        "pixel (default strict majority)")
+    s.add_argument("--model-parallel", type=int, default=1,
+                   help="place ensemble members across a 'model' mesh axis "
+                        "of this size during generation")
     s.add_argument("--reg-mode", default="kld", choices=("none", "kld", "ent"))
     s.add_argument("--reg-weight", type=float, default=0.1)
     s.add_argument("--out-dir", default=None)

@@ -49,10 +49,16 @@ class SourceModel:
     conversion: np.ndarray
     channel_major: bool = False
     compute_dtype: Optional[object] = None
+    # input channels this model's stem consumes; an RGB-D target batch
+    # ([B,H,W,4]) is sliced to [..., :in_channels] before apply, so RGB
+    # sources and a 4-channel target model share one ensemble batch
+    # (SURVEY.md §2 "Dataset: Greenhouse" RGB(-D))
+    in_channels: int = 3
 
 
 def make_source(name: str, model, variables, src_dataset: str,
-                num_target: int = 3, channel_major: bool = False) -> SourceModel:
+                num_target: int = 3, channel_major: bool = False,
+                in_channels: int = 3) -> SourceModel:
     """Wrap a flax segmentation model + trained variables as a SourceModel.
 
     channel_major=True requests [B,C,H,W] logits: models that support
@@ -79,7 +85,15 @@ def make_source(name: str, model, variables, src_dataset: str,
         conversion=label_conversion_matrix(src_dataset, num_target),
         channel_major=channel_major,
         compute_dtype=getattr(model, "compute_dtype", None),
+        in_channels=in_channels,
     )
+
+
+def _source_input(imgs: jnp.ndarray, s: SourceModel) -> jnp.ndarray:
+    """Slice a (possibly RGB-D) normalized batch to the channels `s` eats."""
+    if imgs.shape[-1] > s.in_channels:
+        return imgs[..., : s.in_channels]
+    return imgs
 
 
 def convert_probs(probs: jnp.ndarray, conversion: jnp.ndarray) -> jnp.ndarray:
@@ -211,6 +225,7 @@ def generate_pseudo_labels(
     use_pallas: bool = False,
     mesh=None,
     conf_mode: str = "prob",
+    min_agree: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sweep a target-image loader; return (labels [N,H,W] int32,
     confidences [N,H,W] f32, indices [N]) for the whole set, in loader order.
@@ -255,6 +270,7 @@ def generate_pseudo_labels(
             return fused_pseudo_cm(
                 logits_list, conversions, kc=kc_dev, mode=mode,
                 ignore_label=ignore_label, conf_mode=conf_mode,
+                min_agree=min_agree,
             )
     elif use_pallas:
         from mspl_tpu.ops.pallas_pseudo import fused_pseudo_pass_pallas
@@ -263,12 +279,14 @@ def generate_pseudo_labels(
             return fused_pseudo_pass_pallas(
                 logits_list, conversions, mode=mode, kc=kc_dev,
                 ignore_label=ignore_label, conf_mode=conf_mode,
+                min_agree=min_agree,
             )
     else:
         def pass_fn(logits_list):
             return fused_pseudo_pass(
                 logits_list, conversions, mode=mode, kc=kc_dev,
                 ignore_label=ignore_label, conf_mode=conf_mode,
+                min_agree=min_agree,
             )
 
     # cast the normalized batch to the models' compute dtype ONCE — feeding
@@ -290,7 +308,7 @@ def generate_pseudo_labels(
                 width = (t + 1) if mode == "soft" else t
                 acc = jnp.zeros(x.shape[:3] + (width,), jnp.float32)
                 for s in srcs:
-                    lg = s.apply_fn(x)
+                    lg = s.apply_fn(_source_input(x, s))
                     if s.channel_major:
                         lg = jnp.transpose(lg, (0, 2, 3, 1))
                     p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
@@ -315,15 +333,16 @@ def generate_pseudo_labels(
                 label, conf = _soft_epilogue(total / n_models, t, conf_mode,
                                              ignore_label)
             else:
-                label, conf = _hard_epilogue(total, n_models, None, conf_mode,
-                                             ignore_label)
+                label, conf = _hard_epilogue(total, n_models, min_agree,
+                                             conf_mode, ignore_label)
             return _apply_kc(label, conf, kc_dev, t, ignore_label)
     else:
         def _pass(imgs8):
             imgs = norm(imgs8)
             if common_dtype is not None:
                 imgs = imgs.astype(common_dtype)
-            logits_list = [s.apply_fn(imgs) for s in sources]
+            logits_list = [s.apply_fn(_source_input(imgs, s))
+                           for s in sources]
             return pass_fn(logits_list)
 
     if mesh is not None:
