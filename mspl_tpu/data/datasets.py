@@ -120,7 +120,49 @@ class SegmentationDataset:
     def _convert_raw_label(self, label: np.ndarray) -> np.ndarray:
         return label
 
+    # -- bounded decoded-uint8 cache -------------------------------------
+    # A self-training round decodes the target set once for generation and
+    # once per fine-tune epoch (SURVEY.md §3.3); the reference re-reads
+    # PNGs from disk every epoch.  With the cache enabled, each image is
+    # decoded once and every later sweep (any epoch, any round — the
+    # dataset object persists across rounds) is a dict lookup.  Bounded by
+    # bytes; beyond the budget items are served uncached (no eviction
+    # churn).  Returned arrays are shared — callers must not mutate them.
+
+    def enable_cache(self, cache_bytes: Optional[int] = None) -> None:
+        import threading
+
+        if cache_bytes is None:
+            cache_bytes = int(os.environ.get(
+                "MSPL_DECODE_CACHE_MB", "1024")) << 20
+        self._cache = {}
+        self._cache_lock = threading.Lock()
+        self._cache_limit = int(cache_bytes)
+        self._cache_used = 0
+
+    def _cache_get(self, i: int):
+        c = getattr(self, "_cache", None)
+        return None if c is None else c.get(int(i))
+
+    def _cache_put(self, i: int, img: np.ndarray, lab: np.ndarray) -> None:
+        c = getattr(self, "_cache", None)
+        if c is None:
+            return
+        nb = img.nbytes + lab.nbytes
+        with self._cache_lock:
+            if int(i) not in c and self._cache_used + nb <= self._cache_limit:
+                c[int(i)] = (img, lab)
+                self._cache_used += nb
+
     def load(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        hit = self._cache_get(i)
+        if hit is not None:
+            return hit
+        img, lab = self._load_impl(int(i))
+        self._cache_put(i, img, lab)
+        return img, lab
+
+    def _load_impl(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         img_path, lab_path = self.pairs[i]
         img = _load_image(img_path, self.size_wh)
         if lab_path is None:
@@ -130,6 +172,21 @@ class SegmentationDataset:
         return img, lab
 
     def load_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        if getattr(self, "_cache", None) is None:
+            return self._load_batch_impl(indices)
+        idx = [int(i) for i in indices]
+        miss = sorted({i for i in idx if self._cache_get(i) is None})
+        got = {}
+        if miss:
+            mimgs, mlabs = self._load_batch_impl(np.asarray(miss))
+            for j, i in enumerate(miss):
+                self._cache_put(i, mimgs[j], mlabs[j])
+                got[i] = (mimgs[j], mlabs[j])
+        samples = [self._cache_get(i) or got[i] for i in idx]
+        return (np.stack([s[0] for s in samples]),
+                np.stack([s[1] for s in samples]))
+
+    def _load_batch_impl(self, indices) -> Tuple[np.ndarray, np.ndarray]:
         """Batch fast path: decode all PNGs of the batch in parallel with the
         native C++ runtime (one preallocated buffer, no per-item Python).
         Falls back to per-item `load` when unavailable or for non-PNG files."""
@@ -142,7 +199,7 @@ class SegmentationDataset:
             for p in pairs
         )
         if not native_io.available() or not all_png:
-            samples = [self.load(int(i)) for i in indices]
+            samples = [self._load_impl(int(i)) for i in indices]
             return (np.stack([s[0] for s in samples]),
                     np.stack([s[1] for s in samples]))
 
@@ -219,17 +276,17 @@ class GreenhouseRGBD(SegmentationDataset):
                 self.depth_paths.append(to_abs(dep))
             self.pairs = fixed
 
-    def load(self, i: int):
-        img, lab = super().load(i)
+    def _load_impl(self, i: int):
+        img, lab = super()._load_impl(i)
         if not self.use_depth:
             return img, lab
         depth = _load_label(self.depth_paths[i], self.size_wh)
         return np.concatenate([img, depth[..., None]], axis=-1), lab
 
-    def load_batch(self, indices):
+    def _load_batch_impl(self, indices):
         if not self.use_depth:
-            return super().load_batch(indices)
-        imgs, labs = super().load_batch(indices)
+            return super()._load_batch_impl(indices)
+        imgs, labs = super()._load_batch_impl(indices)
         from mspl_tpu.data import native_io
 
         dpaths = [self.depth_paths[int(i)] for i in indices]
