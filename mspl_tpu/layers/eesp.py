@@ -63,7 +63,7 @@ class EESP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 with_pool: bool = False):
+                 with_pool: bool = False, valid_w: Optional[int] = None):
         import jax
 
         nin = x.shape[-1]
@@ -76,6 +76,13 @@ class EESP(nn.Module):
         proj = CBR(n, kernel_size=1, stride=1, groups=groups, name="proj_1x1")(
             x, train=train
         )
+        if valid_w is not None and valid_w < x.shape[2]:
+            # padded-layout contract (docs/ENCODER_ROOFLINE.md): columns
+            # >= valid_w are width padding.  The proj BN bias makes them
+            # nonzero; re-zero so the dilated branches below see an exact
+            # zero halo (identical to SAME-padding of the unpadded input).
+            mask = (jnp.arange(x.shape[2]) < valid_w)[None, None, :, None]
+            proj = proj * mask.astype(proj.dtype)
 
         dilations = branch_dilations(self.k, self.r_lim)
         # branch weights owned here (shared between lax and Pallas paths)
@@ -160,6 +167,7 @@ class DownSampler(nn.Module):
         x: jnp.ndarray,
         img: Optional[jnp.ndarray] = None,
         train: bool = False,
+        valid_w: Optional[int] = None,
     ) -> jnp.ndarray:
         nin = x.shape[-1]
         nout = self.out_features
@@ -170,7 +178,7 @@ class DownSampler(nn.Module):
         avg_out, eesp_out = EESP(
             nout_new, stride=2, k=self.k, r_lim=self.r_lim, down_method="avg",
             use_pallas=self.use_pallas, name="eesp",
-        )(x, train=train, with_pool=True)
+        )(x, train=train, with_pool=True, valid_w=valid_w)
         out = jnp.concatenate([avg_out, eesp_out], axis=-1)
 
         if self.reinf and img is not None:

@@ -79,6 +79,14 @@ class EESPNet(nn.Module):
     # serialized VPU tap work outweigh its HBM-traffic savings at these
     # shapes).  None = off.
     fuse_stages: bool | None = None
+    # Layout-contract experiment (docs/ENCODER_ROOFLINE.md "what would
+    # change that" (b); only meaningful with fuse_stages): carry the
+    # zero-padded [B, H, Wp, C] form from before stage3 through stage4 at
+    # eval, so the fused stage kernels skip their per-call entry-pad /
+    # exit-slice relayouts and the level4 DownSampler consumes the padded
+    # tensor directly (its EESP masks the proj output pad columns to keep
+    # the conv halo exact — layers/eesp.py `valid_w`).
+    layout_contract: bool = False
 
     def setup(self):
         cfg = eespnet_channel_plan(self.s)
@@ -112,7 +120,8 @@ class EESPNet(nn.Module):
         self.dropout = nn.Dropout(rate=self.drop_rate)
         self.classifier = nn.Dense(self.num_classes)
 
-    def _run_stage(self, x, blocks, prefix, k, r_lim, train):
+    def _run_stage(self, x, blocks, prefix, k, r_lim, train,
+                   padded_io=False, true_w=None):
         """Run a stride-1 EESP repeat stage: experimental fused whole-stage
         kernel when `fuse_stages` is set, per-unit lax path otherwise (both
         share the param tree)."""
@@ -131,7 +140,10 @@ class EESPNet(nn.Module):
                 for i in range(len(blocks))
             ]
             return eesp_stage_fused_eval(x, params,
-                                         branch_dilations(k, r_lim))
+                                         branch_dilations(k, r_lim),
+                                         padded_io=padded_io, true_w=true_w)
+        if padded_io:
+            raise ValueError("layout contract requires the fused stage path")
         for blk in blocks:
             x = blk(x, train=train)
         return x
@@ -154,12 +166,43 @@ class EESPNet(nn.Module):
         img16 = _avg_pool_3x3_s2(img8) if self.reinf else img
         l2 = self.level2_0(l1, img4, train=train)
         l3 = self.level3_0(l2, img8, train=train)
-        l3 = self._run_stage(l3, self.level3_blocks, "level3_blocks",
-                             _STAGE_K[2], _STAGE_RLIM[2], train)
-        l4 = self.level4_0(l3, img16, train=train)
-        l4 = self._run_stage(l4, self.level4_blocks, "level4_blocks",
-                             _STAGE_K[3], _STAGE_RLIM[3], train)
-        return l1, l2, l3, l4
+
+        w3 = l3.shape[2]
+        wp3 = -(-w3 // 8) * 8
+        contract = (bool(self.fuse_stages) and self.layout_contract
+                    and not train and not self.is_initializing()
+                    and self.level3_blocks and self.level4_blocks
+                    and (wp3 // 2) % 8 == 0)
+        if not contract:
+            l3 = self._run_stage(l3, self.level3_blocks, "level3_blocks",
+                                 _STAGE_K[2], _STAGE_RLIM[2], train)
+            l4 = self.level4_0(l3, img16, train=train)
+            l4 = self._run_stage(l4, self.level4_blocks, "level4_blocks",
+                                 _STAGE_K[3], _STAGE_RLIM[3], train)
+            return l1, l2, l3, l4
+
+        # padded layout contract (see `layout_contract`): ONE zero-pad here,
+        # then [B, H, Wp, C] flows through stage3 -> level4_0 -> stage4 with
+        # no per-kernel pad/slice; true-width views are sliced only for the
+        # decoder taps.  Exactness: stage kernels emit zero pad columns, and
+        # level4_0's EESP re-zeros its proj output pads (valid_w), so every
+        # conv halo matches the unpadded SAME-padding math bit-for-bit.
+        l3p = (l3 if wp3 == w3 else
+               jnp.pad(l3, ((0, 0), (0, 0), (0, wp3 - w3), (0, 0))))
+        l3p = self._run_stage(l3p, self.level3_blocks, "level3_blocks",
+                              _STAGE_K[2], _STAGE_RLIM[2], train,
+                              padded_io=True, true_w=w3)
+        w4 = (w3 + 1) // 2
+        wp4 = wp3 // 2
+        img16p = img16
+        if self.reinf and img16.shape[2] != wp4:
+            img16p = jnp.pad(
+                img16, ((0, 0), (0, 0), (0, wp4 - img16.shape[2]), (0, 0)))
+        l4p = self.level4_0(l3p, img16p, train=train, valid_w=w3)
+        l4p = self._run_stage(l4p, self.level4_blocks, "level4_blocks",
+                              _STAGE_K[3], _STAGE_RLIM[3], train,
+                              padded_io=True, true_w=w4)
+        return l1, l2, l3p[:, :, :w3, :], l4p[:, :, :w4, :]
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Classification forward (ImageNet-style pretraining head)."""
@@ -183,6 +226,7 @@ class ESPNetv2Segmentation(nn.Module):
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
     fuse_stages: bool | None = None  # see EESPNet.fuse_stages
+    layout_contract: bool = False  # see EESPNet.layout_contract
     # emit logits as channel-major [B, C, H, W]: the final resize einsum
     # absorbs the layout change for free, and the fused pseudo-label kernel
     # (ops/pallas_pseudo_cm.py) wants W as the lane dim
@@ -192,7 +236,8 @@ class ESPNetv2Segmentation(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         enc = EESPNet(s=self.s, reinf=True, compute_dtype=self.compute_dtype,
                       use_pallas=self.use_pallas,
-                      fuse_stages=self.fuse_stages, name="base_net")
+                      fuse_stages=self.fuse_stages,
+                      layout_contract=self.layout_contract, name="base_net")
         l1, l2, l3, l4 = enc.encode(x, train=train)
 
         bp = self.dec_base_planes

@@ -195,6 +195,11 @@ def _kernel(dilations, nb, n, c, wp, rimg, bb, need_mask, grouped, pack,
         z = z + eaff[0][None, :]
         z = z + x                                   # residual
         x = _prelu(z, alpha[None, :])
+    # zero the Wp-W pad rows on exit: the carried residual re-adds junk into
+    # them each unit, and downstream conv halos (the next DownSampler under
+    # the padded-layout contract) need exact zeros there.  One multiply per
+    # grid step — free next to the unit loop.
+    x = x * padmask
     if pack > 1:
         for j in range(pack):
             out_ref[j] = jnp.concatenate(
@@ -229,6 +234,8 @@ def eesp_stage_fused_eval(
     max_blocks: int = 4,
     images_per_step: int | None = None,
     lane_pack: int | None = None,
+    padded_io: bool = False,
+    true_w: int | None = None,
 ) -> jnp.ndarray:
     """Run a chain of stride-1 EESP units (eval mode) as fused kernels.
 
@@ -241,12 +248,25 @@ def eesp_stage_fused_eval(
       eaff [1, C]     expand BN bias
       alpha [C]       final PReLU
     Returns [B, H, W, C].
+
+    `padded_io=True` is the layout contract (docs/ENCODER_ROOFLINE.md):
+    x arrives ALREADY padded to [B, H, Wp, C] with true image width
+    `true_w` (pad columns may be arbitrary junk — the kernel re-zeros them
+    after the first proj), and the result is returned padded with EXACT
+    zero pad columns (safe as a conv halo downstream).  This skips the
+    per-call entry pad and exit slice relayouts.
     """
     interpret = interpret or jax.default_backend() == "cpu"
     b, h, w, c = x.shape
+    if padded_io:
+        if true_w is None or w % 8:
+            raise ValueError("padded_io needs an 8-aligned padded input "
+                             "and its true_w")
+        wp, w = w, true_w
     k = len(dilations)
     n = c // k
-    wp = -(-w // 8) * 8
+    if not padded_io:
+        wp = -(-w // 8) * 8
     r = h * wp
 
     grouped = blocks[0]["ew"].ndim == 3
@@ -277,7 +297,11 @@ def eesp_stage_fused_eval(
             1)
     rb = bb * r
 
-    xp = x if wp == w else jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    if padded_io:
+        xp = x  # already [B, H, Wp, C]
+    else:
+        xp = (x if wp == w
+              else jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0))))
     xf = xp.reshape(b // bb, rb, c) if pack == 1 else xp.reshape(b, r, c)
 
     tile = lambda pat: jnp.asarray(np.tile(pat, bb)[:, None])
@@ -374,6 +398,8 @@ def eesp_stage_fused_eval(
           stack["cataff"], stack["ew"].astype(mdt), stack["eaff"], alpha,
           padmask, hmask, *mask_in)
     out = out.reshape(b, h, wp, c)
+    if padded_io:
+        return out  # padded layout contract: zero pad cols, no slice
     return out[:, :, :w, :] if wp != w else out
 
 

@@ -66,3 +66,29 @@ def test_fused_stage_kernel_direct():
                                 interpret=True, max_blocks=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(y),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("hw", [(32, 80), (16, 24)])
+def test_layout_contract_matches_lax(hw):
+    """Padded-layout-contract eval (EESPNet.layout_contract: zero-padded
+    [B,H,Wp,C] carried from stage3 through stage4, DownSampler valid_w
+    masking) must reproduce the unpadded lax encoder exactly.  W=80 gives
+    wp3=16/wp4=8 (contract ACTIVE); W=24 gives wp4=4, not 8-aligned,
+    exercising the graceful fall-back."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, *hw, 3), jnp.float32)
+    ref = EESPNet(s=1.0, reinf=True, fuse_stages=False)
+    fused = EESPNet(s=1.0, reinf=True, fuse_stages=True,
+                    layout_contract=True)
+    v = ref.init(jax.random.PRNGKey(3), x, train=False)
+    v = _randomize_stats(v, rng)
+    want = ref.apply(v, x, train=False, method=EESPNet.encode)
+    got = fused.apply(v, x, train=False, method=EESPNet.encode)
+    for w_t, g_t in zip(want, got):
+        assert g_t.shape == w_t.shape
+        # atol 3e-3 against activations of magnitude ~1e3: the padded form
+        # changes XLA fusion shapes, hence f32 accumulation order (observed
+        # worst case 9e-4 abs on 2/5120 elements); a real halo bug would
+        # corrupt whole boundary columns at activation magnitude
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(w_t),
+                                   rtol=5e-4, atol=3e-3)
