@@ -64,15 +64,16 @@ def main():
                                      compute_dtype=jnp.bfloat16,
                                      channel_major_logits=True,
                                      fuse_stages=bool(int(os.environ.get(
-                                         "MSPL_FUSE_STAGES", "0"))))
+                                         "MSPL_FUSE_STAGES", "0"))),
+                                     layout_contract=bool(int(os.environ.get(
+                                         "MSPL_LAYOUT_CONTRACT", "0"))))
         variables = init_model(model, HW, rng=jax.random.fold_in(rng, classes))
         sources.append((model, variables, label_conversion_matrix(name)))
 
     kc = jnp.asarray(np.full(NUM_TARGET, 0.5, np.float32))
     mats = [c for _, _, c in sources]
 
-    @jax.jit
-    def pseudo_batch(imgs_u8):
+    def _pass(imgs_u8):
         # full workload: normalize (device-side, as the real loader path
         # does) -> single bf16 cast -> 3 forwards -> fused pass -> CBST
         # histogram accumulation for the next round's kc
@@ -82,8 +83,37 @@ def main():
         hist = class_confidence_histograms(lab, conf, NUM_TARGET)
         return lab, conf, hist
 
-    imgs_u8 = jax.device_put(jax.random.randint(
-        rng, (BATCH, *HW, 3), 0, 256, dtype=jnp.int32).astype(jnp.uint8))
+    # per-chip semantics (VERDICT r2 item 9): on a multi-chip host the
+    # batch is sharded over a pure-DP mesh (shard_map, the production
+    # pattern from pseudo/generate.py — Pallas calls stay shard-local) so
+    # dividing by device_count is correct by construction; the 1-chip
+    # bench host takes the plain jit path
+    n_chips = max(jax.device_count(), 1)
+    imgs_u8 = jax.random.randint(
+        rng, (BATCH, *HW, 3), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    if n_chips > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mspl_tpu.parallel.mesh import make_mesh_for_batch
+
+        mesh = make_mesh_for_batch(BATCH)
+        assert mesh.shape["data"] == n_chips, (
+            f"BATCH {BATCH} not shardable over {n_chips} chips; per-chip "
+            "number would be wrong")
+
+        def _sharded(imgs_u8):
+            lab, conf, hist = _pass(imgs_u8)
+            return lab, conf, jax.lax.psum(hist, "data")
+
+        from jax import shard_map
+
+        pseudo_batch = jax.jit(shard_map(
+            _sharded, mesh=mesh, in_specs=P("data"),
+            out_specs=(P("data"), P("data"), P()), check_vma=False))
+        imgs_u8 = jax.device_put(imgs_u8, NamedSharding(mesh, P("data")))
+    else:
+        pseudo_batch = jax.jit(_pass)
+        imgs_u8 = jax.device_put(imgs_u8)
 
     # warmup / compile.  Syncs use a 1-element host fetch, not
     # block_until_ready: the latter can return early through the remote-TPU
@@ -101,7 +131,6 @@ def main():
     device_sync((lab, hist))
     dt = time.perf_counter() - t0
 
-    n_chips = max(jax.device_count(), 1)
     images_per_sec_per_chip = BATCH * ITERS / dt / n_chips
     print(json.dumps({
         "metric": "pseudo_label_gen_images_per_sec_per_chip",
@@ -114,13 +143,95 @@ def main():
     }))
 
 
+def main_io(n_images: int = 512, cache: bool = False):
+    """Disk-backed end-to-end mode (VERDICT r2 item 3): real PNGs on disk ->
+    native C++ batch decode -> host->device DMA -> the same full device
+    workload.  This is the like-for-like number against the reference's
+    disk-mediated batch job (SURVEY.md §3.2 DISK BOUNDARY); the default
+    `main()` times the device pipeline alone.  `--io-cache` additionally
+    enables the bounded decoded-uint8 cache and sweeps the set twice,
+    reporting the second (cached) sweep — the self-training steady state."""
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mspl_tpu.cli import _save_model
+    from mspl_tpu.data.datasets import GreenhouseRGBD
+    from mspl_tpu.data.label_io import save_label_png
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.pseudo.generate import generate_pseudo_labels, make_source
+    from mspl_tpu.models import ESPNetv2Segmentation, init_model
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory(prefix="mspl_bench_io") as root:
+        # synthesize a PNG target set at the canonical greenhouse size
+        h, w = HW
+        lst = []
+        from PIL import Image
+
+        for i in range(n_images):
+            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            Image.fromarray(img).save(f"{root}/img_{i:05d}.png",
+                                      compress_level=6)
+            lst.append(f"img_{i:05d}.png")
+        list_path = f"{root}/list.txt"
+        with open(list_path, "w") as f:
+            f.write("\n".join(lst) + "\n")
+
+        jrng = jax.random.PRNGKey(0)
+        sources = []
+        for name, classes in (("camvid", 11), ("cityscapes", 19),
+                              ("forest", 5)):
+            model = ESPNetv2Segmentation(num_classes=classes, s=2.0,
+                                         compute_dtype=jnp.bfloat16,
+                                         channel_major_logits=True)
+            variables = init_model(model, HW,
+                                   rng=jax.random.fold_in(jrng, classes))
+            sources.append(make_source(name, model, variables, name,
+                                       channel_major=True))
+
+        ds = GreenhouseRGBD(root, list_path, size_wh=(w, h))
+        if cache:
+            ds.enable_cache(4 << 30)
+        kc = np.full(NUM_TARGET, 0.5, np.float32)
+
+        def sweep():
+            t0 = time.perf_counter()
+            labels, confs, idx = generate_pseudo_labels(
+                sources, DataLoader(ds, batch_size=BATCH), kc=kc)
+            return len(idx) / (time.perf_counter() - t0)
+
+        sweep()  # warmup sweep: compiles; with --io-cache also fills it
+        rate = sweep()
+        print(json.dumps({
+            "metric": ("pseudo_label_gen_images_per_sec_disk_cached" if cache
+                       else "pseudo_label_gen_images_per_sec_disk"),
+            "value": round(rate, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(rate / JNP_NAIVE_ANCHOR, 3),
+            "n_images": n_images,
+            "note": "end-to-end: PNG decode -> DMA -> device pipeline"
+                    + (" (decoded-uint8 cache hot)" if cache else ""),
+        }))
+
+
 if __name__ == "__main__":
+    import sys
+
+    io_mode = "--io" in sys.argv or "--io-cache" in sys.argv
     # the remote-TPU tunnel occasionally drops a compile/exec request
     # ("response body closed", "TPU device error"); retry a couple of times
     # so a transient doesn't record a failed benchmark
     for attempt in range(3):
         try:
-            main()
+            if io_mode:
+                main_io(cache="--io-cache" in sys.argv)
+            else:
+                main()
             break
         except Exception:
             if attempt == 2:

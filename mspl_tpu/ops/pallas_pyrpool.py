@@ -326,15 +326,19 @@ def _dw3x3_rows(z: jnp.ndarray, texp: jnp.ndarray) -> jnp.ndarray:
     to (zero on gap rows).  out[r, c] = sum_ij texp[r, iy*3+ix] *
     z[r+iy-1, c+ix-1] — i.e. each tap is ONE whole-array shift-multiply-add
     covering every channel at once, instead of one per (channel, tap).  The
-    x-shift is hoisted outside the iy sum: 9 sublane shifts + 2 lane shifts
-    per call (lane realignments are the expensive ones on this stack)."""
+    x-shift is hoisted outside the iy sum AND the three sublane y-shifts of
+    `z` are hoisted outside the ix loop (they do not depend on ix; Mosaic
+    does not CSE the repeated concats): 3 sublane shifts + 2 lane shifts
+    per call, down from 9 + 2 (lane realignments are the expensive ones on
+    this stack, but the 1-row sublane shifts measured ~3.4 ms of the 7 ms
+    bu_dec_l4 kernel in the r2 ablation)."""
+    sh = {iy: _shift2(z, -iy, 0) for iy in (-1, 0, 1)}
     acc = None
     for ix in (-1, 0, 1):
         inner = None
         for iy in (-1, 0, 1):
             t = texp[:, (iy + 1) * 3 + (ix + 1):(iy + 1) * 3 + (ix + 1) + 1]
-            s = _shift2(z, -iy, 0)
-            term = s * t.astype(z.dtype)
+            term = sh[iy] * t.astype(z.dtype)
             inner = term if inner is None else inner + term
         if ix:
             inner = _shift2(inner, 0, -ix)

@@ -94,6 +94,7 @@ def test_batch_not_divisible_raises():
         _init_and_apply(BatchNorm, x, train=True, groups=4)
 
 
+@pytest.mark.slow
 def test_train_step_bn_groups_on_sharded_batch():
     """End-to-end: make_train_step(bn_groups=4) on a batch sharded over the
     8-device CPU mesh produces batch_stats equal to the mean of per-group

@@ -99,6 +99,7 @@ def test_cli_full_workflow(tmp_path):
     assert os.path.exists(os.path.join(st_ckpt, "model_best.msgpack"))
 
 
+@pytest.mark.slow
 def test_cli_pretrain_and_encoder_transfer(tmp_path):
     """`pretrain` trains an EESPNet classifier from a list file and `train
     --pretrained-encoder` initializes the segmentation backbone from it."""

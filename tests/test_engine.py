@@ -204,6 +204,7 @@ def test_kill_and_resume_matches_uninterrupted(tmp_path):
                                                    np.asarray(y)), pa, pb)
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain():
     """jax.checkpoint rematerialization (TrainLoopConfig.remat) must not
     change the step's math: identical loss and updated params."""
@@ -240,6 +241,7 @@ def test_remat_step_matches_plain():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_packed_state_roundtrip_bit_exact():
     """StatePacker.pack/unpack must round-trip the full TrainState
     bit-exactly, including the non-float leaves (step, optimizer count) —
@@ -269,6 +271,7 @@ def test_packed_state_roundtrip_bit_exact():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_packed_train_step_matches_plain():
     """The packed-dispatch step (TrainLoopConfig.pack_dispatch) is the same
     program with pack/unpack fused in: identical loss, params, batch_stats,
@@ -316,6 +319,7 @@ def test_packed_train_step_matches_plain():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_packed_eval_step_matches_plain():
     import optax
 

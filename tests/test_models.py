@@ -33,6 +33,7 @@ def test_backbone_classification_forward():
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_segmentation_forward_small():
     m = ESPNetv2Segmentation(num_classes=11, s=0.5)
     variables = init_model(m, (96, 128))
@@ -53,6 +54,7 @@ def test_segmentation_forward_camvid_shape():
     assert out.shape == (1, 360, 480, 11)
 
 
+@pytest.mark.slow
 def test_segmentation_odd_sizes_dont_crash():
     # 360 -> 180 -> 90 -> 45 -> 23: decoder must re-align odd skip sizes
     m = ESPNetv2Segmentation(num_classes=3, s=0.5)
@@ -77,6 +79,7 @@ def test_factory():
         build_segmentation_model("nope", num_classes=4)
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats():
     m = ESPNetv2Segmentation(num_classes=3, s=0.5)
     variables = init_model(m, (48, 64))
@@ -93,6 +96,7 @@ def test_train_mode_updates_batch_stats():
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_decoder_commuted_proj_matches_plain_order():
     """Eval commutes the pyrpool proj conv with the decoder upsample
     (pyramid_pool.py `pre=`); the result must match the reference order

@@ -51,6 +51,7 @@ def test_fused_eesp_tile_multiple_heights():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_pallas_flag_parity():
     """Same params, use_pallas on/off -> identical segmentation outputs."""
     import jax
