@@ -102,6 +102,7 @@ def _run_pseudo(tmp_path, ckpts, tag, extra=(), data_root=None, lst=None):
     return res, _read_labels(out)
 
 
+@pytest.mark.slow
 def test_cli_pseudo_mesh_bit_identical(tmp_path, monkeypatch, source_ckpts):
     """`pseudo` on the 8-device mesh (built by the CLI itself) must write
     byte-identical label PNGs to the forced single-device run — for the
@@ -132,6 +133,7 @@ def test_cli_pseudo_mesh_bit_identical(tmp_path, monkeypatch, source_ckpts):
         np.testing.assert_array_equal(labs0[k], labs2[k])
 
 
+@pytest.mark.slow
 def test_cli_pseudo_min_agree(tmp_path, source_ckpts):
     """--min-agree reaches the fusion math: with 2 sources, hard fusion at
     min-agree=1 keeps at least as many pixels as the strict default (=2),
@@ -151,6 +153,7 @@ def test_cli_pseudo_min_agree(tmp_path, source_ckpts):
     assert n_loose > n_strict  # untrained heterogeneous sources disagree
 
 
+@pytest.mark.slow
 def test_cli_pseudo_rgbd(tmp_path, source_ckpts):
     """--rgbd: 'rgb depth' target lists drive 3-channel sources (RGB slice)."""
     root = str(tmp_path / "ghd")
@@ -171,6 +174,7 @@ def test_cli_pseudo_rgbd(tmp_path, source_ckpts):
         np.testing.assert_array_equal(labs[k], labs_rgb[k])
 
 
+@pytest.mark.slow
 def test_cli_deeplab_source(tmp_path, source_ckpts):
     """A DeepLab checkpoint works as a generation source through the CLI
     (the non-espnetv2 loader branch; config #5 backbone swap)."""
@@ -179,6 +183,7 @@ def test_cli_deeplab_source(tmp_path, source_ckpts):
     assert res["n"] == 8 and len(labs) == 8
 
 
+@pytest.mark.slow
 def test_deeplab_channel_major_transpose_branch():
     """make_source(channel_major=True) on a model WITHOUT native
     channel-major logits (DeepLab) takes the explicit-transpose branch

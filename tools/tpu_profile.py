@@ -49,9 +49,16 @@ def capture(what: str, iters: int, batch: int) -> str:
         HW = (256, 480)
         sources = []
         for name, classes in (("camvid", 11), ("cityscapes", 19), ("forest", 5)):
+            # same env switches as bench.py, so a trace can explain a bench A/B
             model = ESPNetv2Segmentation(num_classes=classes, s=2.0,
                                          compute_dtype=jnp.bfloat16,
-                                         channel_major_logits=True)
+                                         channel_major_logits=True,
+                                         fuse_stages=bool(int(os.environ.get(
+                                             "MSPL_FUSE_STAGES", "0"))),
+                                         layout_contract=bool(int(
+                                             os.environ.get(
+                                                 "MSPL_LAYOUT_CONTRACT",
+                                                 "0"))))
             variables = init_model(model, HW, rng=jax.random.fold_in(rng, classes))
             sources.append((model, variables, label_conversion_matrix(name)))
         kc = jnp.asarray(np.full(3, 0.5, np.float32))
