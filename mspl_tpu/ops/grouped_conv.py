@@ -52,6 +52,17 @@ Pair = Tuple[int, int]
 # overstate grouped-layer FLOPs by the group factor.
 DENSIFY_GROUPED = True
 
+# Depthwise 3x3/s1/d1 convs with at most this many channels route through
+# the shift-FMA form (ops/dw_shift.py) instead of the native conv; 0
+# disables.  Whole-step A/B at batch 64 (tools/bench_train.py, r3):
+# threshold 0 -> 163.7 ms, 16 -> 152.2/153.8 ms (the P=8/16 pyrpool merge
+# dws win 10-11 ms), 32 -> 173.2 ms, 64 -> 177.1 ms (the 32-40 ch decoder
+# dws LOSE — enough lanes that the native conv's copies beat 9 f32
+# shift-FMA passes).  Default 16; env override MSPL_SHIFT_DW_MAX_C for A/B.
+import os as _os
+
+SHIFT_DW_MAX_C = int(_os.environ.get("MSPL_SHIFT_DW_MAX_C", "16"))
+
 
 def _out_size(size: int, pad: int, k: int, stride: int, dilation: int) -> int:
     eff = dilation * (k - 1) + 1
@@ -119,6 +130,22 @@ def grouped_conv2d(
     if kh == kw == 1 and stride == (1, 1) and (ph, pw) == (0, 0):
         return (x * kernel[0, 0, 0, :]).astype(x.dtype)
 
+    # Small-channel depthwise 3x3 (the decoder's lane-starved shapes, <=
+    # SHIFT_DW_MAX_C channels): shift-FMA form with a hand-written VJP
+    # (ops/dw_shift.py).  The native conv makes XLA batch-minor the
+    # operands, paying ~1.3-1.6 ms transposing copies per conv fwd AND bwd
+    # at [64,128,240,32] (r3 train trace); the shift form stays C-minor.
+    # The whole-step A/B (threshold sweep in the SHIFT_DW_MAX_C comment
+    # above) put the crossover between 16 and 32 channels; wide depthwise
+    # (the EESP branches, C>=128) keeps the native lowering — whole-model
+    # A/B measured shift-tap LOSING there (fwd 133 -> 179 ms).
+    if (SHIFT_DW_MAX_C and kh == kw == 3 and stride == (1, 1)
+            and dilation == (1, 1) and (ph, pw) == (1, 1)
+            and cin <= SHIFT_DW_MAX_C):
+        from mspl_tpu.ops.dw_shift import dw3x3_shift
+
+        return dw3x3_shift(x, kernel)
+
     # Depthwise k x k: inside a jitted model XLA's native depthwise lowering
     # fuses well and beats a hand-written shifted-tap multiply-accumulate
     # (measured: full fwd 133 ms native vs 179 ms shift-tap at batch 128).
@@ -126,12 +153,10 @@ def grouped_conv2d(
     # ops, which get unlucky standalone layouts.
     #
     # Rejected (r2): a custom VJP computing the depthwise WEIGHT grad as
-    # kh*kw strided-slice multiply-reduces (and the data grad as the
-    # flipped-kernel conv).  Gradients matched XLA's AD exactly, but the
-    # packed train step measured 189.3 ms vs 163.7 ms without it at
-    # batch 64 — the 9 whole-tensor slice+reduce passes (31 ms of %slice
-    # in the device trace) cost more than XLA's fused transposed-conv
-    # weight grad.  XLA's AD stays.
+    # kh*kw strided-slice multiply-reduces while KEEPING lax's conv forward
+    # (so the batch-minor copies stayed and the reduce passes were pure
+    # overhead): packed train step 189.3 ms vs 163.7 ms at batch 64.  The
+    # r3 shift form above replaces forward AND backward together.
     return jax.lax.conv_general_dilated(
         x, kernel, stride, [(ph, ph), (pw, pw)], rhs_dilation=dilation,
         feature_group_count=groups,

@@ -79,3 +79,28 @@ def test_c_module_grouped_matches_dense_semantics():
     want = _lax_ref(x, v["params"]["Conv_0"]["kernel"], (1, 1), (1, 1), 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dw_shift_grads_match_lax():
+    """The small-channel depthwise route (ops/dw_shift.py, custom VJP) must
+    match lax's conv AND its autodiff gradients (both dx and dkernel)."""
+    from mspl_tpu.ops.dw_shift import dw3x3_shift
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 9, 14, 24), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 1, 24) * 0.3, jnp.float32)
+    r = jnp.asarray(rng.randn(2, 9, 14, 24), jnp.float32)
+
+    def loss_shift(x, w):
+        return jnp.sum(dw3x3_shift(x, w) * r)
+
+    def loss_lax(x, w):
+        return jnp.sum(_lax_ref(x, w, (1, 1), (1, 1), 24) * r)
+
+    (v1, (dx1, dw1)) = jax.value_and_grad(loss_shift, argnums=(0, 1))(x, w)
+    (v2, (dx2, dw2)) = jax.value_and_grad(loss_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                               rtol=1e-4, atol=1e-4)
