@@ -243,8 +243,17 @@ def generate_pseudo_labels(
     is a `psum` over the `model` axis riding ICI.  Output is bit-identical
     to the serial path; `use_pallas` is ignored here (the fused Pallas
     kernels operate on all N logit stacks at once, which no longer exist on
-    any single device — the per-device epilogue is plain XLA, and the model
-    forward dominates the per-slice cost).
+    any single device — the per-device epilogue is plain XLA).
+
+    Epilogue cost, MEASURED (tools/bench_epilogue.py, r3, batch 128 at
+    256x480, T=3, one v5e chip; isolated numbers include ~0.87 ms dispatch):
+    one source's softmax+convert 7.48 ms + post-psum argmax/conf/kc 6.09 ms
+    = ~13.6 ms/device/batch under model parallelism, vs 9.91 ms for the
+    fused cm kernel doing ALL three models on one device (15.45 ms jnp).
+    The model-axis split therefore trades ~+3.7 ms of epilogue against
+    ~-50 ms of forwards moved off-device per batch (each forward ~25 ms of
+    the 88.8 ms serial batch) — the plain-XLA epilogue stands; a local
+    fused kernel could reclaim at most ~4 ms of the 13.6.
     """
     from mspl_tpu.data.transforms import normalize as default_normalize
 

@@ -18,11 +18,14 @@ chip at the bench shape:
 Run:  python tools/bench_epilogue.py
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 BATCH = 128
 HW = (256, 480)
