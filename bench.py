@@ -25,8 +25,10 @@ import numpy as np
 
 # Anchors (see BASELINE.md "Anchors"; re-measure with bench_anchor.py):
 #   reference-equivalent straight port on this chip (fp32, NHWC, unfused,
-#   one dispatch per model) — measured r2 on TPU v5e-1:
-JNP_NAIVE_ANCHOR = 254.7
+#   one dispatch per model).  Load-sensitive through the axon tunnel, so it
+#   is re-measured and dated each round: r2 2026-08-17 -> 254.7; r3
+#   2026-08-19 -> 310.9 (same day as the r3 headline runs).
+JNP_NAIVE_ANCHOR = 310.9
 #   round-1 first-draft fused-jnp measurement (historical, for continuity
 #   with BENCH_r01.json whose vs_baseline divided by this):
 R1_RECORDED = 438.9
