@@ -63,6 +63,26 @@ import os as _os
 
 SHIFT_DW_MAX_C = int(_os.environ.get("MSPL_SHIFT_DW_MAX_C", "16"))
 
+# Dense (and densified-grouped) 3x3/s1/d1 convs with max(Cin, Cout) at most
+# this route through the 9-shifted-matmul form (ops/conv_tapdot.py) instead
+# of lax's native conv; 0 disables (the default — measured negative
+# result).  The idea: the decoder's 24-40 channel convs pay batch-minor
+# layout copies fwd+bwd plus reduce-scan weight grads under the native
+# lowering (r3 train trace), and a tap-dot form stays C-minor with an MXU
+# weight grad.  Whole-step A/B at batch 64: threshold 48 -> 165.4 ms vs
+# 152.2-153.8 ms with the native conv — the 9+9+9 separate streamed dot
+# passes (fwd/dx/dw each re-read their operands per tap; XLA does not fuse
+# across dots) cost more HBM traffic than the copies they remove.  Kept
+# parity-tested (tests/test_grouped_conv.py) as the recorded experiment.
+TAPDOT_MAX_C = int(_os.environ.get("MSPL_TAPDOT_MAX_C", "0"))
+
+
+def _route_tapdot(x, kernel, stride, dilation, ph, pw):
+    kh, kw = kernel.shape[:2]
+    return (TAPDOT_MAX_C and kh == kw == 3 and stride == (1, 1)
+            and dilation == (1, 1) and (ph, pw) == (1, 1)
+            and max(kernel.shape[2], kernel.shape[3]) <= TAPDOT_MAX_C)
+
 
 def _out_size(size: int, pad: int, k: int, stride: int, dilation: int) -> int:
     eff = dilation * (k - 1) + 1
@@ -87,9 +107,13 @@ def grouped_conv2d(
     kh, kw, cin_g, cout = kernel.shape
     b, h, w, cin = x.shape
     if groups == 1:
-        # dense convs take XLA's fast native path
         pad = padding if padding is not None else (
             dilation[0] * (kh - 1) // 2, dilation[1] * (kw - 1) // 2)
+        if _route_tapdot(x, kernel, stride, dilation, *pad):
+            from mspl_tpu.ops.conv_tapdot import conv3x3_tapdot
+
+            return conv3x3_tapdot(x, kernel)
+        # dense convs take XLA's fast native path
         return jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), stride,
             [(pad[0], pad[0]), (pad[1], pad[1])], rhs_dilation=dilation,
@@ -122,6 +146,10 @@ def grouped_conv2d(
         eye = jnp.eye(groups, dtype=kernel.dtype)
         dense = jnp.einsum("hwigo,gG->hwGigo", kg, eye)
         dense = dense.reshape(kh, kw, cin, cout)
+        if _route_tapdot(x, dense, stride, dilation, ph, pw):
+            from mspl_tpu.ops.conv_tapdot import conv3x3_tapdot
+
+            return conv3x3_tapdot(x, dense)
         return jax.lax.conv_general_dilated(
             x, dense, stride, [(ph, ph), (pw, pw)], rhs_dilation=dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

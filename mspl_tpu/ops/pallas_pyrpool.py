@@ -31,6 +31,7 @@ mspl_tpu/ops/pallas_eesp.py header for the constraints discovered there).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -40,6 +41,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from mspl_tpu.ops.resize import _adaptive_avg_matrix, _interp_matrix
+
+# r3 experiment (VERDICT r2 item 7) — MEASURED NEGATIVE RESULT, default
+# off: batch the per-scale merge depthwise convs of one kernel invocation
+# into ONE _dw3x3_rows over a concatenated [S*R, w] plane stack.  The gap
+# rows that isolate 3x3 halos between channel planes equally isolate the
+# scale blocks, so the concat is exact (CPU parity 0 ulp).  Rationale was
+# instruction-issue boundedness (docs/ENCODER_ROOFLINE.md): S separate
+# merges cost S*(9 mul + 8 add + 5 shifts) whole-array ops vs (9+8+5)
+# bigger ops + S concats + S-1 slice adds.  Measured (r3, v5e):
+#   isolated v2 (o=11/19/5): 7.19/8.13/6.88 ms vs 7.71/8.14/6.59 baseline
+#     (mixed, within the ~±0.4 ms tunnel noise)
+#   whole pipeline: 1432.0 vs 1442.6 img/s same-day (−0.7%, noise-level)
+#   v3 phase A at full P: holding 3 vf stacks live = 22.8 MB scoped VMEM >
+#     16 MB hard limit (compile error) — the mode only fits v2/phase B.
+# Conclusion: the merge dws were not issue-bound enough to pay for the
+# concat copies; the element work dominates.  Kept behind the env flag as
+# the recorded experiment.
+STACK_MERGE = bool(int(os.environ.get("MSPL_STACK_MERGE", "0")))
 
 
 def _branch_sizes(h: int, w: int, scales: Sequence[float]) -> Tuple[Tuple[int, int], ...]:
@@ -346,6 +365,19 @@ def _dw3x3_rows(z: jnp.ndarray, texp: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def _merge_dw_stacked(vfs, tes):
+    """sum_s dw3x3_rows(vfs[s], tes[s]) via ONE stacked dw pass (see
+    STACK_MERGE above).  All inputs share shape [R, w] with gap rows."""
+    r = vfs[0].shape[0]
+    ts = _dw3x3_rows(jnp.concatenate(vfs, axis=0),
+                     jnp.concatenate(tes, axis=0)).astype(jnp.float32)
+    acc = None
+    for si in range(len(vfs)):
+        sl = ts[si * r:(si + 1) * r]
+        acc = sl if acc is None else acc + sl
+    return acc
+
+
 def _dw3x3_rows_sum(zs, tes):
     """sum_s dw3x3_rows(zs[s], tes[s]) with the shifts hoisted ACROSS the
     inputs: regrouping  sum_s sum_t tap[s,t] * shift_t(z_s)  as
@@ -523,6 +555,7 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
     xs_full = _stack_planes(planes, w)
 
     merged = None
+    vfs_live, tes_live = [], []
     for si, s in enumerate(scales):
         hs, ws = sizes[si]
         if s == 1.0:
@@ -550,11 +583,18 @@ def _fused_kernel_v2(scales, sizes, slots, h, w, p, o, gsz,
         vf = vs.astype(jnp.float32)
         vf = vf * a1[:, 0:1] + a1[:, 1:2]
         vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
+        if STACK_MERGE:
+            vfs_live.append(vf.astype(cdt))
+            tes_live.append(mw_exp[si][:])
+            continue
         t = _dw3x3_rows(vf.astype(cdt), mw_exp[si][:]).astype(jnp.float32)
         # accumulate in place: holding all 5 branch outputs live (the old
         # vfs list) cost ~4 extra f32 [gsz*gh, w] arrays of VMEM and was
         # what kept the full-P (gsz == P) stack over the 16 MB scoped limit
         merged = t if merged is None else merged + t
+
+    if STACK_MERGE:
+        merged = _merge_dw_stacked(vfs_live, tes_live)
 
     merged = merged * aff2e[:, 0:1] + aff2e[:, 1:2]
     merged = (jnp.maximum(merged, 0.0)
@@ -760,6 +800,10 @@ def _tail_up_kernel_v3(scales, h, w, p, x_ref, *refs):
         vf = vs.astype(jnp.float32)
         vf = vf * a1[:, 0:1] + a1[:, 1:2]
         vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
+        # NOTE: STACK_MERGE deliberately does NOT apply here — phase A at
+        # full P holding its 3 vf stacks live measured 22.8 MB scoped VMEM
+        # (> 16 MB hard limit; compile error).  Sequential accumulation
+        # keeps one vf live at a time.
         t = _dw3x3_rows(vf.astype(cdt), mwr[:]).astype(jnp.float32)
         acc = t if acc is None else acc + t
     for c in range(p):
@@ -797,6 +841,7 @@ def _tail_rest_kernel_v3(scales, sizes, slots, h, w, p, o,
     # carries f32 end-to-end)
     merged = _stack_planes([part_ref[0, c, :, :] for c in range(p)],
                            w).astype(jnp.float32)
+    vfs_live, tes_live = [], []
     pi = 0
     for si, s in enumerate(scales):
         if s >= 1.0:
@@ -818,9 +863,15 @@ def _tail_rest_kernel_v3(scales, sizes, slots, h, w, p, o,
         vf = vs.astype(jnp.float32)
         vf = vf * a1[:, 0:1] + a1[:, 1:2]
         vf = jnp.maximum(vf, 0.0) + a1[:, 2:3] * jnp.minimum(vf, 0.0)
+        if STACK_MERGE:
+            vfs_live.append(vf.astype(cdt))
+            tes_live.append(mwr[:])
+            continue
         merged = merged + _dw3x3_rows(vf.astype(cdt),
                                       mwr[:]).astype(jnp.float32)
 
+    if STACK_MERGE and vfs_live:
+        merged = merged + _merge_dw_stacked(vfs_live, tes_live)
     merged = merged * aff2e[:, 0:1] + aff2e[:, 1:2]
     merged = (jnp.maximum(merged, 0.0)
               + aff2e[:, 2:3] * jnp.minimum(merged, 0.0))

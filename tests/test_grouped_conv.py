@@ -104,3 +104,53 @@ def test_dw_shift_grads_match_lax():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv_tapdot_grads_match_lax():
+    """The small-channel dense-3x3 route (ops/conv_tapdot.py, custom VJP)
+    must match lax's conv AND its autodiff gradients (dx and dkernel)."""
+    from mspl_tpu.ops.conv_tapdot import conv3x3_tapdot
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 9, 14, 12), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 12, 10) * 0.2, jnp.float32)
+    r = jnp.asarray(rng.randn(2, 9, 14, 10), jnp.float32)
+
+    def loss_tap(x, w):
+        return jnp.sum(conv3x3_tapdot(x, w) * r)
+
+    def loss_lax(x, w):
+        return jnp.sum(_lax_ref(x, w, (1, 1), (1, 1), 1) * r)
+
+    (v1, (dx1, dw1)) = jax.value_and_grad(loss_tap, argnums=(0, 1))(x, w)
+    (v2, (dx2, dw2)) = jax.value_and_grad(loss_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_conv_tapdot_route_matches_native():
+    """grouped_conv2d with the tap-dot route forced ON must equal the
+    native lowering for dense AND densified-grouped 3x3 shapes."""
+    import mspl_tpu.ops.grouped_conv as gc
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 9, 14, 12), jnp.float32)
+    wd = jnp.asarray(rng.randn(3, 3, 12, 10) * 0.2, jnp.float32)
+    wg = jnp.asarray(rng.randn(3, 3, 3, 8) * 0.2, jnp.float32)  # G=4
+    old = gc.TAPDOT_MAX_C
+    try:
+        gc.TAPDOT_MAX_C = 0
+        want_d = gc.grouped_conv2d(x, wd, groups=1)
+        want_g = gc.grouped_conv2d(x, wg, groups=4)
+        gc.TAPDOT_MAX_C = 48
+        got_d = gc.grouped_conv2d(x, wd, groups=1)
+        got_g = gc.grouped_conv2d(x, wg, groups=4)
+    finally:
+        gc.TAPDOT_MAX_C = old
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-5, atol=1e-5)
