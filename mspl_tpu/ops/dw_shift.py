@@ -32,8 +32,13 @@ path's bf16 behavior under compute_dtype=bf16).
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
+
+
+_ACC_F32 = int(_os.environ.get("MSPL_SHIFT_DW_ACC_F32", "1"))
 
 
 def _nine_shift_fma(xp: jnp.ndarray, w33c: jnp.ndarray, h: int, wd: int
@@ -41,12 +46,15 @@ def _nine_shift_fma(xp: jnp.ndarray, w33c: jnp.ndarray, h: int, wd: int
     """xp: [B, H+2, W+2, C] zero-padded input; w33c: [3, 3, C].
     Returns [B, H, W, C] = depthwise 3x3 'same' in xp's dtype; taps
     accumulate in f32 (matching the native conv path's MXU accumulator,
-    grouped_conv.py docstring)."""
+    grouped_conv.py docstring).  MSPL_SHIFT_DW_ACC_F32=0 accumulates in the
+    input dtype instead (A/B knob: halves the tap-chain register traffic
+    under bf16 at the cost of 9-term bf16 accumulation error)."""
     acc = None
+    acc_dt = jnp.float32 if _ACC_F32 else xp.dtype
     for ky in range(3):
         for kx in range(3):
             t = (xp[:, ky:ky + h, kx:kx + wd, :]
-                 * w33c[ky, kx]).astype(jnp.float32)
+                 * w33c[ky, kx]).astype(acc_dt)
             acc = t if acc is None else acc + t
     return acc.astype(xp.dtype)
 
