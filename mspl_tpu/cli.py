@@ -375,16 +375,27 @@ def cmd_pseudo(args) -> Dict:
                             getattr(args, "model_parallel", 1))
     if mesh is not None:
         print_info_message(f"generation mesh: {dict(mesh.shape)}")
+    # device-resident result set unless per-pixel confidences must be dumped
+    # (--save-conf): kc sweep + re-threshold run on device and only the final
+    # uint8 labels are fetched (BASELINE.json:5 "labels stay on-device")
+    on_device = not args.save_conf
     labels, confs, indices = generate_pseudo_labels(
         sources, loader, mode=args.fusion, use_pallas=args.pallas,
-        conf_mode=conf_mode, min_agree=args.min_agree, mesh=mesh)
+        conf_mode=conf_mode, min_agree=args.min_agree, mesh=mesh,
+        return_device=on_device)
 
     if args.p is not None:  # class-balanced thresholds
         kc = sweep_kc(labels, confs, t, args.p)
     else:
         kc = np.full(t, threshold, np.float32)
-    safe = np.where(labels == IGNORE_LABEL, 0, labels)
-    labels = np.where(confs >= kc[safe], labels, IGNORE_LABEL).astype(np.int32)
+    if on_device:
+        from mspl_tpu.pseudo.cbst import apply_kc_device
+
+        labels = np.asarray(apply_kc_device(labels, confs, kc)).astype(np.int32)
+    else:
+        safe = np.where(labels == IGNORE_LABEL, 0, labels)
+        labels = np.where(confs >= kc[safe], labels,
+                          IGNORE_LABEL).astype(np.int32)
 
     os.makedirs(args.out_dir, exist_ok=True)
     img_paths, lab_paths = [], []

@@ -140,6 +140,32 @@ def kc_from_histograms(
     return np.minimum(kc, max_kc).astype(np.float32)
 
 
+def _apply_kc_set(labels, confs, kc, ignore_label: int):
+    safe = jnp.where(labels == ignore_label, 0, labels).astype(jnp.int32)
+    thr = jnp.asarray(kc, jnp.float32)[safe]
+    ign = jnp.asarray(ignore_label).astype(labels.dtype)
+    return jnp.where(confs >= thr, labels, ign)
+
+
+_apply_kc_set_jit = jax.jit(_apply_kc_set, static_argnums=(3,))
+
+
+def apply_kc_device(
+    labels,
+    confs,
+    kc: np.ndarray,
+    ignore_label: int = IGNORE_LABEL,
+):
+    """Re-threshold a whole (device-resident) label/conf set with per-class
+    kc (the CBST keep rule, SURVEY.md App. A): pixels with
+    conf < kc[label] become `ignore_label`.  One jitted compare+select on
+    device; output keeps `labels`' dtype (uint8 from the on-device
+    generation path).  Same semantics as the host-side numpy re-threshold in
+    pseudo/self_training.py — bit-identical, tests/test_selftrain.py."""
+    return _apply_kc_set_jit(jnp.asarray(labels), jnp.asarray(confs),
+                             jnp.asarray(kc, jnp.float32), ignore_label)
+
+
 def sweep_kc(
     labels: np.ndarray,
     confs: np.ndarray,

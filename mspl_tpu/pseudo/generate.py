@@ -226,9 +226,21 @@ def generate_pseudo_labels(
     mesh=None,
     conf_mode: str = "prob",
     min_agree: Optional[int] = None,
+    return_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sweep a target-image loader; return (labels [N,H,W] int32,
     confidences [N,H,W] f32, indices [N]) for the whole set, in loader order.
+
+    return_device=True keeps the whole result set ON DEVICE (BASELINE.json:5
+    "labels stay on-device for the fine-tune step"): labels come back as a
+    uint8 jax.Array and confidences as a float32 jax.Array; only the int32
+    `indices` is a host array.  The CBST kc sweep and re-threshold then run
+    on device too (pseudo/self_training.py), so per-pixel data crosses the
+    host boundary exactly ONCE per round — the final thresholded uint8
+    labels — instead of labels+confidence per batch (8 bytes/px -> 1 byte/px;
+    through this environment's remote-TPU tunnel that is the difference
+    between a fetch-bound and a compute-bound round, see BASELINE.md
+    "Disk-backed end-to-end").  Values are bit-identical to the host path.
 
     The per-batch pass (model forwards + fusion + threshold) is one jitted
     program; only final uint8/float maps return to host memory.  With `mesh`,
@@ -354,6 +366,20 @@ def generate_pseudo_labels(
                            for s in sources]
             return pass_fn(logits_list)
 
+    # Fetch labels as uint8: device->host transfers of s32 arrays run at
+    # ~1 MB/s through the axon remote-TPU tunnel vs ~25 MB/s for u8 (r3
+    # measurement: one [128,256,480] int32 label batch took 72 s to fetch,
+    # the same data as uint8 0.6 s).  Labels always fit u8 here (T <= 20
+    # classes, ignore 255); the host re-widens to the public int32
+    # contract.  On locally-attached TPUs this is still a 4x DMA saving.
+    fetch_u8 = t <= 255 and 0 <= ignore_label <= 255
+    _pass_inner = _pass
+
+    if fetch_u8:
+        def _pass(imgs8):
+            lab, conf = _pass_inner(imgs8)
+            return lab.astype(jnp.uint8), conf
+
     if mesh is not None:
         # shard_map over the 'data' axis: each device runs the whole pass on
         # its local batch shard — essential for the Pallas kernels, which
@@ -391,10 +417,24 @@ def generate_pseudo_labels(
             imgs = jax.device_put(imgs, data_sharding)
         lab, conf = batch_pass(imgs)
         valid = batch["valid"]
-        lab, conf = np.asarray(lab), np.asarray(conf)
+        if return_device:
+            # loader pads only the tail batch, always as a suffix, so the
+            # valid rows are the prefix — a static device-side slice
+            nv = int(valid.sum())
+            labels.append(lab if nv == lab.shape[0] else lab[:nv])
+            confs.append(conf if nv == conf.shape[0] else conf[:nv])
+            indices.append(batch["index"][:nv])
+            continue
+        lab, conf = np.asarray(lab).astype(np.int32), np.asarray(conf)
         labels.append(lab[valid])
         confs.append(conf[valid])
         indices.append(batch["index"][valid])
+    if return_device:
+        return (
+            jnp.concatenate(labels, axis=0),
+            jnp.concatenate(confs, axis=0),
+            np.concatenate(indices, axis=0),
+        )
     return (
         np.concatenate(labels, axis=0),
         np.concatenate(confs, axis=0),

@@ -43,9 +43,11 @@ def _fake_checkpoint(tmp_path, ds_name, seed=0, model_name="espnetv2",
     return ckpt
 
 
-def _greenhouse_pngs(root, n=8, depth=False, labeled=False, seed=7):
+def _greenhouse_pngs(root, n=8, depth=False, labeled=False, seed=7,
+                     prefix=""):
     """Greenhouse-format file set: unlabeled.txt with 'rgb [depth] [label]'
-    lines."""
+    lines.  List entries are relative to `root` (the CLI's --data-root), so a
+    second set in the same root (e.g. a val split) must use a `prefix`."""
     from PIL import Image
 
     os.makedirs(root, exist_ok=True)
@@ -54,19 +56,19 @@ def _greenhouse_pngs(root, n=8, depth=False, labeled=False, seed=7):
     lines = []
     for i in range(n):
         img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
-        Image.fromarray(img).save(os.path.join(root, f"img_{i}.png"))
-        cols = [f"img_{i}.png"]
+        Image.fromarray(img).save(os.path.join(root, f"{prefix}img_{i}.png"))
+        cols = [f"{prefix}img_{i}.png"]
         if depth:
             d = rng.integers(0, 255, size=(h, w)).astype(np.uint8)
             Image.fromarray(d, mode="L").save(
-                os.path.join(root, f"dep_{i}.png"))
-            cols.append(f"dep_{i}.png")
+                os.path.join(root, f"{prefix}dep_{i}.png"))
+            cols.append(f"{prefix}dep_{i}.png")
         if labeled:
             lab = rng.integers(0, 3, size=(h, w)).astype(np.uint8)
-            save_label_png(lab, os.path.join(root, f"lab_{i}.png"))
-            cols.append(f"lab_{i}.png")
+            save_label_png(lab, os.path.join(root, f"{prefix}lab_{i}.png"))
+            cols.append(f"{prefix}lab_{i}.png")
         lines.append(" ".join(cols))
-    lst = os.path.join(root, "list.txt")
+    lst = os.path.join(root, f"{prefix}list.txt")
     with open(lst, "w") as f:
         f.write("\n".join(lines) + "\n")
     return lst
@@ -259,8 +261,9 @@ def test_cli_selftrain_rgbd_target_joins(tmp_path, source_ckpts):
     and joins the ensemble in round 1 (sources see the RGB slice)."""
     root = str(tmp_path / "ghd")
     lst = _greenhouse_pngs(root, depth=True)
-    val = _greenhouse_pngs(str(tmp_path / "ghd_val"), depth=True,
-                           labeled=True, seed=11)
+    # val split lives in the same --data-root (list entries are root-relative)
+    val = _greenhouse_pngs(root, depth=True, labeled=True, seed=11,
+                           prefix="val_")
     res = main(["selftrain", "--checkpoints"] + source_ckpts + [
         "--data-root", root, "--target-list", lst,
         "--val-list", val, "--rgbd",

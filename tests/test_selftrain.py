@@ -113,6 +113,39 @@ def test_self_training_deeplab_backbone_swap(tmp_path):
     assert 0.1 < res["history"][0]["frac_kept"] <= 1.0
 
 
+def test_on_device_round_state_matches_host():
+    """The device-resident round path (return_device=True + apply_kc_device,
+    the SelfTrainConfig.on_device default) is bit-identical to the host
+    path: same labels/conf/indices (incl. the padded tail batch) and the
+    same kc re-threshold result."""
+    from mspl_tpu.pseudo.cbst import apply_kc_device, sweep_kc
+    from mspl_tpu.pseudo.generate import generate_pseudo_labels
+
+    target = SyntheticSegmentation(num_classes=NUM_CLASSES, size_wh=(32, 24),
+                                   length=10, seed=9, unlabeled=True)
+    sources = [
+        _palette_source(target.palette, sharp=4.0, name="src_a"),
+        _palette_source(target.palette, sharp=2.0, name="src_b"),
+    ]
+    loader = DataLoader(target, batch_size=4)  # 10 = 4+4+2: padded tail
+    lab_h, conf_h, idx_h = generate_pseudo_labels(sources, loader)
+    lab_d, conf_d, idx_d = generate_pseudo_labels(sources, loader,
+                                                  return_device=True)
+    assert lab_d.dtype == jnp.uint8  # labels cross the host boundary as u8
+    np.testing.assert_array_equal(np.asarray(lab_d).astype(np.int32), lab_h)
+    np.testing.assert_array_equal(np.asarray(conf_d), conf_h)
+    np.testing.assert_array_equal(idx_d, idx_h)
+
+    kc = sweep_kc(lab_h, conf_h, NUM_CLASSES, 0.5)
+    safe = np.where(lab_h == IGNORE_LABEL, 0, lab_h)
+    thr_h = np.where(conf_h >= kc[safe], lab_h, IGNORE_LABEL).astype(np.int32)
+    thr_d = np.asarray(apply_kc_device(lab_d, conf_d, kc)).astype(np.int32)
+    np.testing.assert_array_equal(thr_d, thr_h)
+    # kc swept from the device-resident set equals the host sweep
+    np.testing.assert_array_equal(sweep_kc(lab_d, conf_d, NUM_CLASSES, 0.5),
+                                  kc)
+
+
 def test_pseudo_labeled_dataset_roundtrip():
     base = SyntheticSegmentation(num_classes=3, size_wh=(16, 12), length=6,
                                  seed=5, unlabeled=True)
