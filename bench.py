@@ -8,40 +8,161 @@ models (CamVid 11, Cityscapes 19, Forest 5 classes) at 480x256 -> fused
 softmax -> label-space conversion -> soft fusion -> kc threshold -> per-class
 CBST confidence-histogram accumulation, all in ONE jitted program per batch.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline",
+"anchor_img_s", "anchor_date", ...}.  Everything else (heartbeats, phase
+timings, retries) goes to stderr so a killed run still leaves a diagnosis
+in the driver's output tail.
 
-vs_baseline is anchored to the REFERENCE-EQUIVALENT pipeline on the same
-chip (VERDICT r1 item 5): a straight fp32/NHWC/unfused port of the
-reference's per-batch loop measured by bench_anchor.py (jnp_naive mode).
-The literal torch-CPU reference pipeline is also recorded in BASELINE.md
+Hardened for the axon remote-TPU tunnel (VERDICT r3 item 1 — BENCH_r03 was
+rc=124/parsed:null because a hung attempt produced NO output):
+
+  * parent/child split: the parent process (this __main__, no jax import)
+    spawns the measurement as a child (`--attempt`), bounds it with a
+    hard timeout, and retries; a wedged PJRT call cannot out-wait the
+    driver anymore.
+  * child watchdog thread: os._exit(86) at MSPL_BENCH_WATCHDOG seconds —
+    works even when the main thread is stuck inside a blocking C call
+    (signal handlers would be deferred there).
+  * heartbeat lines `[bench +12.3s] <phase>` on stderr at every phase.
+  * a PROVISIONAL result line (same schema + "provisional": true) is
+    written after the first 2 timed iterations; if the full measurement
+    then hangs, the parent promotes the provisional line to stdout.
+  * on success the result is mirrored to .bench_last.json; if every
+    attempt fails, the parent emits that last-good result clearly marked
+    "stale_from" rather than nothing at all.
+
+vs_baseline divides by the REFERENCE-EQUIVALENT pipeline on the same chip
+(VERDICT r1 item 5): a straight fp32/NHWC/unfused port of the reference's
+per-batch loop measured by `bench_anchor.py` (jnp_naive mode), which
+records its number + date into ANCHOR.json; bench.py embeds both in its
+output so every BENCH_rN.json is self-contained (VERDICT r3 item 7).  The
+literal torch-CPU reference pipeline is also recorded in BASELINE.md
 ("Anchors") — this container has 1 CPU core, so that number carries a
 hardware caveat and is not used as the divisor.
+
+Workload-size env overrides (used by tests/test_bench_cpu.py to exercise
+this script end-to-end on the CPU backend in seconds):
+MSPL_BENCH_BATCH, MSPL_BENCH_HW ("H,W"), MSPL_BENCH_S, MSPL_BENCH_ITERS,
+MSPL_BENCH_WARMUP.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-# Anchors (see BASELINE.md "Anchors"; re-measure with bench_anchor.py):
+# Anchor fallbacks, used only when ANCHOR.json is missing (see BASELINE.md
+# "Anchors"; re-measure with bench_anchor.py — it writes ANCHOR.json):
 #   reference-equivalent straight port on this chip (fp32, NHWC, unfused,
 #   one dispatch per model).  Load-sensitive through the axon tunnel, so it
 #   is re-measured and dated each round: r2 2026-08-17 -> 254.7; r3
-#   2026-08-19 -> 310.9 (same day as the r3 headline runs).
+#   2026-08-19 -> 310.9.
 JNP_NAIVE_ANCHOR = 310.9
+JNP_NAIVE_ANCHOR_DATE = "2026-08-19"
 #   round-1 first-draft fused-jnp measurement (historical, for continuity
 #   with BENCH_r01.json whose vs_baseline divided by this):
 R1_RECORDED = 438.9
 
-BATCH = 128
-HW = (256, 480)  # greenhouse canonical H, W (SURVEY registry: 480x256 WxH)
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        print(f"[bench] ignoring unparseable {name}", file=sys.stderr)
+        return default
+
+
+BATCH = _env_int("MSPL_BENCH_BATCH", 128)
+try:
+    _hw = os.environ.get("MSPL_BENCH_HW", "256,480").split(",")
+    HW = (int(_hw[0]), int(_hw[1]))  # greenhouse canonical H,W (480x256 WxH)
+except (ValueError, IndexError):
+    print("[bench] ignoring unparseable MSPL_BENCH_HW", file=sys.stderr)
+    HW = (256, 480)
+try:
+    MODEL_S = float(os.environ.get("MSPL_BENCH_S", "2.0"))
+except ValueError:
+    MODEL_S = 2.0
 NUM_TARGET = 3
-WARMUP = 3
-ITERS = 12  # ~1.5 s of steady state; 5 iters showed ±2% run-to-run noise
+WARMUP = _env_int("MSPL_BENCH_WARMUP", 3)
+ITERS = _env_int("MSPL_BENCH_ITERS", 12)  # ~1.5 s of steady state
+PROVISIONAL_ITERS = 2
+
+_T0 = time.monotonic()
+REPO = os.path.dirname(os.path.abspath(__file__))
+LAST_GOOD = os.path.join(REPO, ".bench_last.json")
+ANCHOR_FILE = os.path.join(REPO, "ANCHOR.json")
+
+
+def _hb(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _read_anchor():
+    """(anchor_img_s, anchor_date) from ANCHOR.json if bench_anchor.py has
+    written one, else the hardcoded last-measured fallback."""
+    try:
+        with open(ANCHOR_FILE) as f:
+            a = json.load(f)
+        return float(a["jnp_naive_img_per_sec_per_chip"]), str(a["date"])
+    except (OSError, KeyError, ValueError):
+        return JNP_NAIVE_ANCHOR, JNP_NAIVE_ANCHOR_DATE
+
+
+def _emit(payload: dict, provisional: bool = False) -> None:
+    """Write one result line to stdout (the parent harvests the last one)
+    and mirror final results to .bench_last.json."""
+    if provisional:
+        payload = dict(payload, provisional=True)
+    print(json.dumps(payload), flush=True)
+    if not provisional:
+        try:
+            with open(LAST_GOOD, "w") as f:
+                json.dump(dict(payload, date=time.strftime("%Y-%m-%d")), f)
+        except OSError:
+            pass
+
+
+def _result(images_per_sec_per_chip: float) -> dict:
+    anchor, anchor_date = _read_anchor()
+    return {
+        "metric": "pseudo_label_gen_images_per_sec_per_chip",
+        "value": round(images_per_sec_per_chip, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec_per_chip / anchor, 3),
+        "anchor_img_s": anchor,
+        "anchor_date": anchor_date,
+        "baseline_anchor": "reference-equivalent straight port on same chip "
+                           f"({anchor} img/s, bench_anchor.py)",
+        "vs_r1_first_draft": round(images_per_sec_per_chip / R1_RECORDED, 3),
+    }
+
+
+def _arm_watchdog() -> None:
+    """Kill THIS process at MSPL_BENCH_WATCHDOG seconds no matter what the
+    main thread is blocked in.  A thread + os._exit works where
+    signal.alarm does not: SIGALRM's Python handler is deferred while the
+    main thread sits inside a blocking PJRT call."""
+    import threading
+
+    budget = float(os.environ.get("MSPL_BENCH_WATCHDOG", "0") or 0)
+    if budget <= 0:
+        return
+
+    def _die():
+        _hb(f"WATCHDOG fired after {budget:.0f}s — aborting attempt")
+        os._exit(86)
+
+    t = threading.Timer(budget, _die)
+    t.daemon = True
+    t.start()
 
 
 def main():
+    _arm_watchdog()
+    _hb("importing jax")
     import jax
     import jax.numpy as jnp
 
@@ -57,13 +178,13 @@ def main():
     from mspl_tpu.ops.pallas_pseudo_cm import fused_pseudo_soft_cm
     from mspl_tpu.pseudo.cbst import class_confidence_histograms
 
+    _hb(f"building models (batch={BATCH} hw={HW} s={MODEL_S})")
     rng = jax.random.PRNGKey(0)
     sources = []
     for name, classes in (("camvid", 11), ("cityscapes", 19), ("forest", 5)):
         # channel-major logits: the final resize einsum emits [B,C,H,W] for
         # free, feeding the fused Pallas pseudo pass with W as lanes
-        import os
-        model = ESPNetv2Segmentation(num_classes=classes, s=2.0,
+        model = ESPNetv2Segmentation(num_classes=classes, s=MODEL_S,
                                      compute_dtype=jnp.bfloat16,
                                      channel_major_logits=True,
                                      fuse_stages=bool(int(os.environ.get(
@@ -97,7 +218,8 @@ def main():
     if n_chips > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from mspl_tpu.parallel.mesh import make_mesh_for_batch
+        from mspl_tpu.parallel.mesh import make_mesh_for_batch, \
+            shard_map_compat
 
         mesh = make_mesh_for_batch(BATCH)
         assert mesh.shape["data"] == n_chips, (
@@ -108,11 +230,9 @@ def main():
             lab, conf, hist = _pass(imgs_u8)
             return lab, conf, jax.lax.psum(hist, "data")
 
-        from jax import shard_map
-
-        pseudo_batch = jax.jit(shard_map(
-            _sharded, mesh=mesh, in_specs=P("data"),
-            out_specs=(P("data"), P("data"), P()), check_vma=False))
+        pseudo_batch = jax.jit(shard_map_compat(
+            _sharded, mesh, in_specs=P("data"),
+            out_specs=(P("data"), P("data"), P())))
         imgs_u8 = jax.device_put(imgs_u8, NamedSharding(mesh, P("data")))
     else:
         pseudo_batch = jax.jit(_pass)
@@ -124,10 +244,23 @@ def main():
     # number was cross-checked equal here, 1149.9 vs 1146.8).
     from mspl_tpu.utils.profiling import device_sync
 
-    for _ in range(WARMUP):
+    _hb("warmup/compile (first-ever run: minutes; warm cache: ~30s)")
+    for i in range(WARMUP):
+        lab, conf, hist = pseudo_batch(imgs_u8)
+        device_sync((lab, hist))
+        _hb(f"warmup {i + 1}/{WARMUP} done")
+
+    _hb(f"provisional timing ({PROVISIONAL_ITERS} iters)")
+    t0 = time.perf_counter()
+    for _ in range(PROVISIONAL_ITERS):
         lab, conf, hist = pseudo_batch(imgs_u8)
     device_sync((lab, hist))
+    dt = time.perf_counter() - t0
+    prov = BATCH * PROVISIONAL_ITERS / dt / n_chips
+    _emit(_result(prov), provisional=True)
+    _hb(f"provisional: {prov:.1f} img/s/chip")
 
+    _hb(f"full timing ({ITERS} iters)")
     t0 = time.perf_counter()
     for _ in range(ITERS):
         lab, conf, hist = pseudo_batch(imgs_u8)
@@ -135,15 +268,8 @@ def main():
     dt = time.perf_counter() - t0
 
     images_per_sec_per_chip = BATCH * ITERS / dt / n_chips
-    print(json.dumps({
-        "metric": "pseudo_label_gen_images_per_sec_per_chip",
-        "value": round(images_per_sec_per_chip, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec_per_chip / JNP_NAIVE_ANCHOR, 3),
-        "baseline_anchor": "reference-equivalent straight port on same chip "
-                           f"({JNP_NAIVE_ANCHOR} img/s, bench_anchor.py)",
-        "vs_r1_first_draft": round(images_per_sec_per_chip / R1_RECORDED, 3),
-    }))
+    _emit(_result(images_per_sec_per_chip))
+    _hb(f"final: {images_per_sec_per_chip:.1f} img/s/chip")
 
 
 def main_io(n_images: int = 512, cache: bool = False):
@@ -153,17 +279,18 @@ def main_io(n_images: int = 512, cache: bool = False):
     disk-mediated batch job (SURVEY.md §3.2 DISK BOUNDARY); the default
     `main()` times the device pipeline alone.  `--io-cache` additionally
     enables the bounded decoded-uint8 cache and sweeps the set twice,
-    reporting the second (cached) sweep — the self-training steady state."""
+    reporting the second (cached) sweep — the self-training steady state.
+    Measured numbers: BASELINE.md "Disk-backed end-to-end"."""
     import tempfile
 
+    _arm_watchdog()
+    _hb("importing jax (io mode)")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from mspl_tpu.cli import _save_model
     from mspl_tpu.data.datasets import GreenhouseRGBD
-    from mspl_tpu.data.label_io import save_label_png
     from mspl_tpu.data.loader import DataLoader
     from mspl_tpu.pseudo.generate import generate_pseudo_labels, make_source
     from mspl_tpu.models import ESPNetv2Segmentation, init_model
@@ -184,13 +311,13 @@ def main_io(n_images: int = 512, cache: bool = False):
         list_path = f"{root}/list.txt"
         with open(list_path, "w") as f:
             f.write("\n".join(lst) + "\n")
-        print(f"[io] synthesized {n_images} PNGs", file=sys.stderr, flush=True)
+        _hb(f"synthesized {n_images} PNGs")
 
         jrng = jax.random.PRNGKey(0)
         sources = []
         for name, classes in (("camvid", 11), ("cityscapes", 19),
                               ("forest", 5)):
-            model = ESPNetv2Segmentation(num_classes=classes, s=2.0,
+            model = ESPNetv2Segmentation(num_classes=classes, s=MODEL_S,
                                          compute_dtype=jnp.bfloat16,
                                          channel_major_logits=True)
             variables = init_model(model, HW,
@@ -213,15 +340,14 @@ def main_io(n_images: int = 512, cache: bool = False):
         for b in DataLoader(ds, batch_size=BATCH):
             b["image"][0].sum()  # touch; stays on host
         decode_rate = n_images / (time.perf_counter() - t0)
-        print(f"[io] decode-only: {decode_rate:.1f} img/s", file=sys.stderr,
-              flush=True)
+        _hb(f"decode-only: {decode_rate:.1f} img/s")
 
         one = np.zeros((BATCH, h, w, 3), np.uint8)
         jax.device_put(one).block_until_ready()  # warm the transfer path
         t0 = time.perf_counter()
         jax.device_put(one).block_until_ready()
         h2d_mbps = one.nbytes / (time.perf_counter() - t0) / 1e6
-        print(f"[io] h2d: {h2d_mbps:.1f} MB/s", file=sys.stderr, flush=True)
+        _hb(f"h2d: {h2d_mbps:.1f} MB/s")
 
         # production cmd_pseudo flow: device-resident result set, CBST kc
         # sweep + re-threshold on device, ONE uint8 label fetch for the set
@@ -237,38 +363,118 @@ def main_io(n_images: int = 512, cache: bool = False):
             return len(idx) / (time.perf_counter() - t0)
 
         r0 = sweep()  # warmup sweep: compiles; with --io-cache also fills it
-        print(f"[io] warmup sweep done ({r0:.1f} img/s)", file=sys.stderr,
-              flush=True)
+        _hb(f"warmup sweep done ({r0:.1f} img/s)")
         rate = sweep()
+        anchor, anchor_date = _read_anchor()
         print(json.dumps({
             "metric": ("pseudo_label_gen_images_per_sec_disk_cached" if cache
                        else "pseudo_label_gen_images_per_sec_disk"),
             "value": round(rate, 3),
             "unit": "images/sec/chip",
-            "vs_baseline": round(rate / JNP_NAIVE_ANCHOR, 3),
+            "vs_baseline": round(rate / anchor, 3),
+            "anchor_img_s": anchor,
+            "anchor_date": anchor_date,
             "n_images": n_images,
             "decode_only_img_per_sec": round(decode_rate, 1),
             "h2d_MBps": round(h2d_mbps, 1),
             "note": "end-to-end: PNG decode -> DMA -> device pipeline"
                     + (" (decoded-uint8 cache hot)" if cache else ""),
-        }))
+        }), flush=True)
+
+
+def _last_json_line(path: str):
+    """Last parseable JSON object line of the child's captured stdout."""
+    best = None
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        best = json.loads(line)
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    return best
+
+
+def orchestrate(argv) -> int:
+    """Parent process: bound each measurement attempt with a hard timeout,
+    retry transient tunnel failures, and ALWAYS print one JSON line.  No
+    jax import here — a wedged child cannot wedge the parent."""
+    import subprocess
+    import tempfile
+
+    deadline = float(os.environ.get("MSPL_BENCH_DEADLINE", "520"))
+    attempts = int(os.environ.get("MSPL_BENCH_ATTEMPTS", "3"))
+    per_attempt = float(os.environ.get("MSPL_BENCH_ATTEMPT_TIMEOUT", "420"))
+    start = time.monotonic()
+    best = None  # provisional result from a partially-successful attempt
+
+    for attempt in range(attempts):
+        remaining = deadline - (time.monotonic() - start)
+        if remaining < 30:
+            _hb(f"deadline budget exhausted before attempt {attempt + 1}")
+            break
+        budget = min(remaining - 5, per_attempt)
+        env = dict(os.environ, MSPL_BENCH_WATCHDOG=str(max(budget - 10, 20)))
+        with tempfile.NamedTemporaryFile("w+", suffix=".bench.jsonl",
+                                         delete=False) as tf:
+            out_path = tf.name
+        _hb(f"attempt {attempt + 1}/{attempts} (budget {budget:.0f}s)")
+        with open(out_path, "w") as out:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--attempt",
+                 *argv], stdout=out, stderr=None, env=env)
+            try:
+                rc = proc.wait(timeout=budget)
+            except subprocess.TimeoutExpired:
+                _hb("attempt timed out at the parent backstop — killing")
+                proc.kill()
+                proc.wait()
+                rc = -9
+        got = _last_json_line(out_path)
+        os.unlink(out_path)
+        if got is not None and not got.get("provisional"):
+            print(json.dumps(got), flush=True)
+            return 0
+        if got is not None:
+            _hb("attempt died after the provisional measurement; keeping it")
+            best = got
+        _hb(f"attempt {attempt + 1} failed (rc={rc})")
+        if attempt + 1 < attempts:
+            time.sleep(20)  # let a killed TPU client's device error settle
+
+    if best is not None:
+        print(json.dumps(best), flush=True)
+        return 0
+    last = _last_json_line(LAST_GOOD)
+    if last is not None:
+        _hb("all attempts failed; emitting the LAST-GOOD result, marked "
+            "stale")
+        last["stale_from"] = last.pop("date", "unknown")
+        last["error"] = "live measurement failed this run; value is the "\
+                        "most recent successful local measurement"
+        print(json.dumps(last), flush=True)
+        return 0
+    print(json.dumps({
+        "metric": "pseudo_label_gen_images_per_sec_per_chip",
+        "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+        "error": "all measurement attempts hung or crashed; see stderr "
+                 "heartbeats"}), flush=True)
+    return 1
 
 
 if __name__ == "__main__":
-    import sys
-
-    io_mode = "--io" in sys.argv or "--io-cache" in sys.argv
-    # the remote-TPU tunnel occasionally drops a compile/exec request
-    # ("response body closed", "TPU device error"); retry a couple of times
-    # so a transient doesn't record a failed benchmark
-    for attempt in range(3):
-        try:
-            if io_mode:
-                main_io(cache="--io-cache" in sys.argv)
-            else:
-                main()
-            break
-        except Exception:
-            if attempt == 2:
-                raise
-            time.sleep(20)
+    argv = [a for a in sys.argv[1:]]
+    child = "--attempt" in argv
+    argv = [a for a in argv if a != "--attempt"]
+    io_mode = "--io" in argv or "--io-cache" in argv
+    if child:
+        if io_mode:
+            main_io(cache="--io-cache" in argv)
+        else:
+            main()
+    else:
+        sys.exit(orchestrate(argv))

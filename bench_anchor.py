@@ -142,6 +142,20 @@ def main():
     out = {}
     if which in ("jnp_naive", "both"):
         out["jnp_naive_img_per_sec_per_chip"] = round(bench_jnp_naive(), 3)
+        # Record the anchor + date for bench.py to embed in its JSON line so
+        # every BENCH_rN.json is self-contained (VERDICT r3 item 7).  The
+        # anchor is load-sensitive through the axon tunnel — re-run this on
+        # the same day as the headline runs.
+        import os
+
+        anchor = {"jnp_naive_img_per_sec_per_chip":
+                  out["jnp_naive_img_per_sec_per_chip"],
+                  "date": time.strftime("%Y-%m-%d")}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "ANCHOR.json")
+        with open(path, "w") as f:
+            json.dump(anchor, f)
+        print(f"[anchor] wrote {path}", file=sys.stderr)
     if which in ("torch", "both"):
         out["torch_cpu_img_per_sec"] = round(bench_torch(), 4)
         out["torch_cpu_cores"] = __import__("os").cpu_count()

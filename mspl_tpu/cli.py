@@ -22,7 +22,8 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from mspl_tpu.utils.print_utils import print_info_message
+from mspl_tpu.utils.print_utils import print_info_message, \
+    print_warning_message
 from mspl_tpu.utils.registry import (
     CONF_MODES,
     FUSION_MODES,
@@ -344,9 +345,31 @@ def _production_mesh(batch_size: int, model_parallel: int = 1):
 
     if jax.device_count() == 1 and model_parallel <= 1:
         return None
+    if model_parallel > jax.device_count():
+        raise SystemExit(
+            f"--model-parallel {model_parallel} exceeds the visible device "
+            f"count ({jax.device_count()}); the model axis cannot be wider "
+            "than the mesh")
     from mspl_tpu.parallel.mesh import make_mesh_for_batch
 
     return make_mesh_for_batch(batch_size, model=model_parallel)
+
+
+def _check_min_agree(min_agree, fusion: str, max_models: int) -> None:
+    """Range-validate --min-agree (ADVICE r3): <=0 silently disables the
+    agreement gate inside _hard_epilogue, > n_models ignores every pixel,
+    and the flag does nothing under soft fusion."""
+    if min_agree is None:
+        return
+    if fusion != "hard":
+        print_warning_message(
+            f"--min-agree {min_agree} is ignored under --fusion {fusion}; "
+            "it only affects hard fusion")
+        return
+    if not 1 <= min_agree <= max_models:
+        raise SystemExit(
+            f"--min-agree {min_agree} out of range: must be in "
+            f"[1, {max_models}] (number of models voting)")
 
 
 def cmd_pseudo(args) -> Dict:
@@ -359,6 +382,7 @@ def cmd_pseudo(args) -> Dict:
 
     info = dataset_info("greenhouse")
     t = info.num_classes
+    _check_min_agree(args.min_agree, args.fusion, len(args.checkpoints))
     sources = _load_sources(args.checkpoints, t)
     ds = GreenhouseRGBD(args.data_root, args.target_list,
                         size_wh=tuple(args.size) if args.size else None,
@@ -457,6 +481,8 @@ def cmd_selftrain(args) -> Dict:
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         variables = init_model(model, target_ds.shape_hw, channels=in_ch)
 
+    # the ensemble grows by the fine-tuned target model after round 0
+    _check_min_agree(args.min_agree, args.fusion, len(args.checkpoints) + 1)
     crop_wh = args.crop_size or size_wh or info.size_wh
     cfg = SelfTrainConfig(
         rounds=args.rounds, p_init=args.p_init, p_step=args.p_step,

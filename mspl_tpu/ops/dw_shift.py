@@ -26,8 +26,11 @@ XLA fuses into few passes over (x, g).  Whole-step A/B decides the default
 batch-minor copies stayed, so the reduce passes were pure overhead.
 
 Semantics: torch Conv2d(C, C, 3, padding=1, groups=C), kernel [3, 3, 1, C]
-(flax HWIO).  Tap accumulation in the input dtype (matches the dense-conv
-path's bf16 behavior under compute_dtype=bf16).
+(flax HWIO).  Taps accumulate in f32 by DEFAULT (matching the native conv
+path's MXU accumulator; the result is cast back to the input dtype).
+MSPL_SHIFT_DW_ACC_F32=0 switches to input-dtype accumulation (bf16 A/B
+knob; measured no-win, BASELINE.md backward-roofline item 4).  The env var
+is read ONCE at import time — set it before importing mspl_tpu.
 """
 
 from __future__ import annotations

@@ -65,6 +65,28 @@ def maybe_init_distributed() -> bool:
     return True
 
 
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """`jax.shard_map` across JAX versions (ADVICE r3: bench.py and
+    pseudo/generate.py each carried their own copy of this fallback).
+
+    Newer JAX exposes `jax.shard_map` with `check_vma`; older versions only
+    have `jax.experimental.shard_map.shard_map` with `check_rep`.  Both
+    checks are disabled: pallas_call outputs carry no varying-mesh-axes /
+    replication annotation, and every mspl_tpu shard_map region is
+    shard-local by construction (batch sharded over 'data').
+    """
+    try:
+        from jax import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,

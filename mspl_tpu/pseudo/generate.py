@@ -386,23 +386,10 @@ def generate_pseudo_labels(
         # GSPMD would otherwise all-gather around as opaque custom calls
         from jax.sharding import NamedSharding, PartitionSpec
 
-        try:
-            from jax import shard_map as _shard_map
-
-            def shard_map(f, mesh, in_specs, out_specs):
-                # check_vma=False: pallas_call outputs carry no varying-
-                # mesh-axes annotation
-                return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                                  out_specs=out_specs, check_vma=False)
-        except ImportError:
-            from jax.experimental.shard_map import shard_map as _sm
-
-            def shard_map(f, mesh, in_specs, out_specs):
-                return _sm(f, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_rep=False)
+        from mspl_tpu.parallel.mesh import shard_map_compat
 
         data_sharding = NamedSharding(mesh, PartitionSpec("data"))
-        batch_pass = jax.jit(shard_map(
+        batch_pass = jax.jit(shard_map_compat(
             _pass, mesh,
             in_specs=PartitionSpec("data"),
             out_specs=(PartitionSpec("data"), PartitionSpec("data")),
@@ -419,8 +406,13 @@ def generate_pseudo_labels(
         valid = batch["valid"]
         if return_device:
             # loader pads only the tail batch, always as a suffix, so the
-            # valid rows are the prefix — a static device-side slice
+            # valid rows are the prefix — a static device-side slice.
+            # Guard the layout assumption (ADVICE r3): a loader change that
+            # interleaves invalid rows would silently mislabel images here.
             nv = int(valid.sum())
+            assert valid[:nv].all(), (
+                "generate_pseudo_labels(return_device=True) requires "
+                "suffix-only batch padding (valid rows as a prefix)")
             labels.append(lab if nv == lab.shape[0] else lab[:nv])
             confs.append(conf if nv == conf.shape[0] else conf[:nv])
             indices.append(batch["index"][:nv])

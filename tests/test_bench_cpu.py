@@ -1,0 +1,131 @@
+"""bench.py robustness gates (VERDICT r3 item 1): the driver's benchmark
+invocation must ALWAYS leave a parseable JSON line on stdout, within a
+bounded wall time, even when an attempt hangs or crashes.
+
+These tests run the real script as a subprocess on the CPU backend with the
+workload shrunk via the MSPL_BENCH_* env overrides — exercising the
+parent/child orchestration, the watchdog, the provisional line, and the
+never-blank fallbacks end to end.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+TINY = {
+    "JAX_PLATFORMS": "cpu",
+    "MSPL_BENCH_BATCH": "4",
+    "MSPL_BENCH_HW": "32,48",
+    "MSPL_BENCH_S": "0.5",
+    "MSPL_BENCH_WARMUP": "1",
+    "MSPL_BENCH_ITERS": "2",
+    "MSPL_BENCH_DEADLINE": "280",
+    "MSPL_BENCH_ATTEMPT_TIMEOUT": "260",
+}
+
+
+def _run(extra_env, args=(), timeout=300):
+    env = dict(os.environ, **extra_env)
+    # tests force 8 virtual CPU devices via conftest XLA_FLAGS; the bench
+    # subprocess should see a plain 1-device CPU host
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    t0 = time.monotonic()
+    proc = subprocess.run([sys.executable, BENCH, *args], env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    return proc, time.monotonic() - t0
+
+
+def _last_json(stdout: str):
+    objs = [json.loads(ln) for ln in stdout.splitlines()
+            if ln.strip().startswith("{")]
+    assert objs, f"no JSON line on stdout: {stdout!r}"
+    return objs[-1]
+
+
+@pytest.mark.slow
+def test_bench_cpu_end_to_end():
+    """Happy path: tiny workload on CPU -> one final (non-provisional) JSON
+    line with the self-contained anchor fields, inside the time budget."""
+    proc, dt = _run(TINY)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _last_json(proc.stdout)
+    assert got["metric"] == "pseudo_label_gen_images_per_sec_per_chip"
+    assert got["value"] and got["value"] > 0
+    assert got["unit"] == "images/sec/chip"
+    assert "provisional" not in got
+    # VERDICT r3 item 7: every artifact carries its own anchor
+    assert got["anchor_img_s"] > 0 and got["anchor_date"]
+    assert got["vs_baseline"] == pytest.approx(
+        got["value"] / got["anchor_img_s"], rel=1e-3)
+    # stderr carries phase heartbeats for post-mortem diagnosis
+    assert "[bench" in proc.stderr and "final:" in proc.stderr
+    # the budget that matters on the TPU host is the warm-cache one; on CPU
+    # the whole tiny run (3 model compiles included) must fit well inside
+    # the driver-style window
+    assert dt < 280, f"bench took {dt:.0f}s"
+
+
+def test_bench_never_blank_on_crash(tmp_path):
+    """A child that crashes instantly (invalid workload) must still leave a
+    parseable JSON line: the last-good mirror if present, else an error
+    object — never empty stdout (the BENCH_r03 failure mode).  BATCH=-1
+    crashes only the measurement child (negative array shape); the parent
+    never builds the workload."""
+    env = dict(TINY, MSPL_BENCH_BATCH="-1", MSPL_BENCH_ATTEMPTS="1",
+               MSPL_BENCH_DEADLINE="60", MSPL_BENCH_ATTEMPT_TIMEOUT="40")
+    # run from a cwd without .bench_last.json influence: the script resolves
+    # LAST_GOOD relative to its own path, so stash/restore any real one
+    last_good = os.path.join(REPO, ".bench_last.json")
+    stash = None
+    if os.path.exists(last_good):
+        with open(last_good) as f:
+            stash = f.read()
+        os.unlink(last_good)
+    try:
+        proc, _ = _run(env, timeout=120)
+        got = _last_json(proc.stdout)
+        assert got["value"] is None and "error" in got
+        assert proc.returncode == 1
+    finally:
+        if stash is not None:
+            with open(last_good, "w") as f:
+                f.write(stash)
+
+
+def test_bench_watchdog_aborts_hang():
+    """A wedged attempt self-aborts via the watchdog thread (os._exit(86))
+    rather than out-waiting the driver.  Simulated by giving the child an
+    impossibly small watchdog budget; with ATTEMPTS=1 and no last-good file
+    the parent must emit the error JSON and exit 1 within the deadline."""
+    env = dict(TINY, MSPL_BENCH_ATTEMPTS="1", MSPL_BENCH_DEADLINE="90",
+               MSPL_BENCH_ATTEMPT_TIMEOUT="80")
+    last_good = os.path.join(REPO, ".bench_last.json")
+    stash = None
+    if os.path.exists(last_good):
+        with open(last_good) as f:
+            stash = f.read()
+        os.unlink(last_good)
+    try:
+        # orchestrate() derives the child watchdog from the attempt budget;
+        # pin it directly by invoking the child path through the parent with
+        # a tiny per-attempt budget instead
+        env["MSPL_BENCH_ATTEMPT_TIMEOUT"] = "18"
+        t0 = time.monotonic()
+        proc, _ = _run(env, timeout=120)
+        dt = time.monotonic() - t0
+        got = _last_json(proc.stdout)
+        assert got["value"] is None and "error" in got
+        assert "WATCHDOG" in proc.stderr or "timed out" in proc.stderr
+        assert dt < 90, f"hang was not bounded: {dt:.0f}s"
+    finally:
+        if stash is not None:
+            with open(last_good, "w") as f:
+                f.write(stash)
