@@ -60,22 +60,28 @@ class EESP(nn.Module):
     r_lim: int = 7
     down_method: str = "esp"  # 'avg' => strided variant inside DownSampler
     use_pallas: bool = False
+    # ensemble weight stacking (layers/stacking.py): out_features stays the
+    # PER-MODEL width; the unit carries `stack` models side by side in
+    # m-major channel layout, with every conv's groups multiplied by stack
+    stack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  with_pool: bool = False, valid_w: Optional[int] = None):
         import jax
 
-        nin = x.shape[-1]
+        from mspl_tpu.layers.stacking import stacked_concat
+
+        s = self.stack
+        nin = x.shape[-1] // s  # per-model input width
         nout = self.out_features
         n = nout // self.k
         if n * self.k != nout:
             raise ValueError(f"EESP out_features={nout} must be divisible by k={self.k}")
         groups = self.k if (nin % self.k == 0 and n % self.k == 0) else 1
 
-        proj = CBR(n, kernel_size=1, stride=1, groups=groups, name="proj_1x1")(
-            x, train=train
-        )
+        proj = CBR(n * s, kernel_size=1, stride=1, groups=groups * s,
+                   name="proj_1x1")(x, train=train)
         if valid_w is not None and valid_w < x.shape[2]:
             # padded-layout contract (docs/ENCODER_ROOFLINE.md): columns
             # >= valid_w are width padding.  The proj BN bias makes them
@@ -88,8 +94,8 @@ class EESP(nn.Module):
         # branch weights owned here (shared between lax and Pallas paths)
         dw_kernels = [
             self.param(
-                f"dw_d{i}_kernel", nn.initializers.he_normal(), (3, 3, 1, n),
-                jnp.float32,
+                f"dw_d{i}_kernel", nn.initializers.he_normal(),
+                (3, 3, 1, n * s), jnp.float32,
             )
             for i in range(self.k)
         ]
@@ -127,11 +133,10 @@ class EESP(nn.Module):
                 if i > 0:
                     b = b + branches[-1]
                 branches.append(b)
-            merged = jnp.concatenate(branches, axis=-1)
-        merged = BR(nout, name="br_after_cat")(merged, train=train)
-        expanded = CB(nout, kernel_size=1, stride=1, groups=groups, name="conv_1x1_exp")(
-            merged, train=train
-        )
+            merged = stacked_concat(branches, s)
+        merged = BR(nout * s, name="br_after_cat")(merged, train=train)
+        expanded = CB(nout * s, kernel_size=1, stride=1, groups=groups * s,
+                      name="conv_1x1_exp")(merged, train=train)
 
         if self.stride == 2 and self.down_method == "avg":
             if with_pool:
@@ -141,7 +146,7 @@ class EESP(nn.Module):
             return expanded
         if expanded.shape == x.shape:
             expanded = expanded + x
-        return PReLU(nout, name="module_act")(expanded)
+        return PReLU(nout * s, name="module_act")(expanded)
 
 
 def _avg_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
@@ -160,6 +165,7 @@ class DownSampler(nn.Module):
     r_lim: int = 9
     reinf: bool = True
     use_pallas: bool = False
+    stack: int = 1  # ensemble weight stacking; out_features is PER-MODEL
 
     @nn.compact
     def __call__(
@@ -169,7 +175,10 @@ class DownSampler(nn.Module):
         train: bool = False,
         valid_w: Optional[int] = None,
     ) -> jnp.ndarray:
-        nin = x.shape[-1]
+        from mspl_tpu.layers.stacking import stacked_concat
+
+        s = self.stack
+        nin = x.shape[-1] // s  # per-model input width
         nout = self.out_features
         nout_new = nout - nin
         if nout_new <= 0:
@@ -177,19 +186,21 @@ class DownSampler(nn.Module):
 
         avg_out, eesp_out = EESP(
             nout_new, stride=2, k=self.k, r_lim=self.r_lim, down_method="avg",
-            use_pallas=self.use_pallas, name="eesp",
+            use_pallas=self.use_pallas, stack=s, name="eesp",
         )(x, train=train, with_pool=True, valid_w=valid_w)
-        out = jnp.concatenate([avg_out, eesp_out], axis=-1)
+        out = stacked_concat([avg_out, eesp_out], s)
 
         if self.reinf and img is not None:
             # avg-pool the raw image until it matches our spatial size
             # (shapes are static under jit, so this loop unrolls at trace time)
             while img.shape[1] != out.shape[1] or img.shape[2] != out.shape[2]:
                 img = _avg_pool_3x3_s2(img)
-            r = CBR(img.shape[-1], kernel_size=3, stride=1, name="inp_reinf_cbr")(
-                img, train=train
-            )
-            r = CB(nout, kernel_size=1, stride=1, name="inp_reinf_cb")(r, train=train)
+            # the raw image is SHARED by all stacked models: a dense conv
+            # with s-times the outputs (m-major), not a block-diagonal one
+            r = CBR(img.shape[-1] * s, kernel_size=3, stride=1,
+                    name="inp_reinf_cbr")(img, train=train)
+            r = CB(nout * s, kernel_size=1, stride=1, groups=s,
+                   name="inp_reinf_cb")(r, train=train)
             out = out + r
 
-        return PReLU(nout, name="act")(out)
+        return PReLU(nout * s, name="act")(out)

@@ -54,6 +54,9 @@ class EfficientPyrPool(nn.Module):
     # final logits resize consume it directly).  The contract holds on every
     # path: the train/jnp path transposes to match.
     channel_major_out: bool = False
+    # ensemble weight stacking (layers/stacking.py): proj_features /
+    # out_features stay PER-MODEL; the block carries `stack` models m-major
+    stack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pre: jnp.ndarray | None = None,
@@ -62,6 +65,7 @@ class EfficientPyrPool(nn.Module):
 
         from mspl_tpu.ops.resize import resize_bilinear
 
+        s = self.stack
         p = self.proj_features
         scales = tuple(sorted(self.scales, reverse=True))
         # `pre`: a lower-resolution decoder tensor to be bilinearly upsampled
@@ -95,6 +99,15 @@ class EfficientPyrPool(nn.Module):
                 # bf16 output — the MXU accumulates in f32 internally, and a
                 # preferred_element_type=f32 output would add a separate
                 # full-res convert pass (measured 1.45 ms/iter)
+                if s > 1:
+                    # stacked proj is a block-diagonal grouped 1x1; the
+                    # grouped_conv2d densify path keeps the same dense-conv
+                    # lowering as below
+                    from mspl_tpu.ops.grouped_conv import grouped_conv2d
+
+                    return grouped_conv2d(
+                        t, ka.astype(t.dtype)[None, None], groups=s,
+                        padding=(0, 0))
                 return jax.lax.conv_general_dilated(
                     t, ka.astype(t.dtype)[None, None],
                     window_strides=(1, 1), padding="VALID",
@@ -105,19 +118,20 @@ class EfficientPyrPool(nn.Module):
             z = pconv(x) + za + beff.astype(x.dtype)
             x = jnp.maximum(z, 0) + alpha.astype(z.dtype) * jnp.minimum(z, 0)
         else:
-            x = CBR(p, kernel_size=1, stride=1, name="proj")(x, train=train)
+            x = CBR(p * s, kernel_size=1, stride=1, groups=s,
+                    name="proj")(x, train=train)
         h, w = x.shape[1], x.shape[2]
 
         dw_kernels = [
             self.param(f"dw_s{i}_kernel", nn.initializers.he_normal(),
-                       (3, 3, 1, p), jnp.float32)
+                       (3, 3, 1, p * s), jnp.float32)
             for i in range(len(scales))
         ]
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
 
-        if (use_pallas and self.fuse_tail and not train
+        if (use_pallas and self.fuse_tail and not train and s == 1
                 and not self.is_initializing()):
             # Whole-block fused eval kernel: BN here is a per-channel affine
             # (running stats), so the post-concat BN+PReLU, channel shuffle,
@@ -171,16 +185,27 @@ class EfficientPyrPool(nn.Module):
 
             out = pyr_branches_jnp(x, wstack, scales)
         out = BR(out.shape[-1], name="merge_br")(out, train=train)
-        out = channel_shuffle(out, groups=len(scales))
-        out = CBR(p, kernel_size=3, stride=1, groups=p, name="merge_cbr")(
-            out, train=train
-        )
+        if s > 1:
+            # the branch stack concatenates per SCALE, so the stacked tensor
+            # here is scale-major [scale, model, p] (and merge_br's params
+            # are interleaved to match — layers/stacking.py merge_br rule).
+            # The per-model channel shuffle [scale, p] -> [p, scale] lands
+            # m-major directly: one transposed write, exactly what the
+            # unstacked channel_shuffle costs.
+            b_, h_, w_, c_ = out.shape
+            out = out.reshape(b_, h_, w_, len(scales), s, p)
+            out = jnp.transpose(out, (0, 1, 2, 4, 5, 3))
+            out = out.reshape(b_, h_, w_, c_)
+        else:
+            out = channel_shuffle(out, groups=len(scales))
+        out = CBR(p * s, kernel_size=3, stride=1, groups=p * s,
+                  name="merge_cbr")(out, train=train)
         out = C(
-            self.out_features, kernel_size=1, stride=1,
+            self.out_features * s, kernel_size=1, stride=1, groups=s,
             use_bias=not self.last_layer_br, name="classify",
         )(out)
         if self.last_layer_br:
-            out = BR(self.out_features, name="last_br")(out, train=train)
+            out = BR(self.out_features * s, name="last_br")(out, train=train)
         if self.channel_major_out:
             out = jnp.transpose(out, (0, 3, 1, 2))
         return out
@@ -190,15 +215,17 @@ class EfficientPWC(nn.Module):
     """Efficient pointwise expansion with a global-context sigmoid gate."""
 
     out_features: int
+    stack: int = 1  # ensemble weight stacking; out_features is PER-MODEL
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        nin, nout = x.shape[-1], self.out_features
+        s = self.stack
+        nin, nout = x.shape[-1] // s, self.out_features
         gate = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
-        gate = C(nout, kernel_size=1, stride=1, name="wt_conv")(gate)
+        gate = C(nout * s, kernel_size=1, stride=1, groups=s,
+                 name="wt_conv")(gate)
         gate = nn.sigmoid(gate)
         groups = math.gcd(nin, nout)
-        out = CBR(nout, kernel_size=3, stride=1, groups=groups, name="expand")(
-            x, train=train
-        )
+        out = CBR(nout * s, kernel_size=3, stride=1, groups=groups * s,
+                  name="expand")(x, train=train)
         return out * gate

@@ -87,27 +87,39 @@ class EESPNet(nn.Module):
     # tensor directly (its EESP masks the proj output pad columns to keep
     # the conv halo exact — layers/eesp.py `valid_w`).
     layout_contract: bool = False
+    # Ensemble weight stacking (layers/stacking.py): run `stack` models of
+    # this architecture as ONE forward, channels m-major.  The raw-image
+    # stem/reinforcement convs widen (shared input), everything else goes
+    # block-diagonal; the shared input pyramid is computed once for all.
+    stack: int = 1
 
     def setup(self):
         cfg = eespnet_channel_plan(self.s)
-        self.level1 = CBR(cfg[0], kernel_size=3, stride=2)
+        if self.stack > 1 and self.fuse_stages:
+            raise ValueError("fuse_stages (experimental) does not support "
+                             "ensemble stacking")
+        self.level1 = CBR(cfg[0] * self.stack, kernel_size=3, stride=2)
         self.level2_0 = DownSampler(cfg[1], k=_STAGE_K[0], r_lim=_STAGE_RLIM[0],
-                                    reinf=self.reinf, use_pallas=self.use_pallas)
+                                    reinf=self.reinf, use_pallas=self.use_pallas,
+                                    stack=self.stack)
         self.level3_0 = DownSampler(cfg[2], k=_STAGE_K[1], r_lim=_STAGE_RLIM[1],
-                                    reinf=self.reinf, use_pallas=self.use_pallas)
+                                    reinf=self.reinf, use_pallas=self.use_pallas,
+                                    stack=self.stack)
         self.level3_blocks = [
             EESP(cfg[2], k=_STAGE_K[2], r_lim=_STAGE_RLIM[2],
-                 use_pallas=self.use_pallas)
+                 use_pallas=self.use_pallas, stack=self.stack)
             for _ in range(_STAGE_REPS[1])
         ]
         self.level4_0 = DownSampler(cfg[3], k=_STAGE_K[2], r_lim=_STAGE_RLIM[2],
-                                    reinf=self.reinf, use_pallas=self.use_pallas)
+                                    reinf=self.reinf, use_pallas=self.use_pallas,
+                                    stack=self.stack)
         self.level4_blocks = [
             EESP(cfg[3], k=_STAGE_K[3], r_lim=_STAGE_RLIM[3],
-                 use_pallas=self.use_pallas)
+                 use_pallas=self.use_pallas, stack=self.stack)
             for _ in range(_STAGE_REPS[2])
         ]
-        # classification-only tail
+        # classification-only tail (stack>1 guarded in __call__ — the GAP
+        # head is pretraining-only and never runs stacked)
         self.level5_0 = DownSampler(cfg[4], k=_STAGE_K[3], r_lim=_STAGE_RLIM[3],
                                     reinf=False)
         self.level5_blocks = [
@@ -206,6 +218,9 @@ class EESPNet(nn.Module):
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Classification forward (ImageNet-style pretraining head)."""
+        if self.stack > 1:
+            raise ValueError("the classification head does not support "
+                             "ensemble stacking (pretraining-only path)")
         _, _, _, l4 = self.encode(x, train=train)
         l5 = self.level5_0(l4, None, train=train)
         for blk in self.level5_blocks:
@@ -231,13 +246,19 @@ class ESPNetv2Segmentation(nn.Module):
     # absorbs the layout change for free, and the fused pseudo-label kernel
     # (ops/pallas_pseudo_cm.py) wants W as the lane dim
     channel_major_logits: bool = False
+    # ensemble weight stacking (layers/stacking.py): run `stack` models of
+    # this architecture as ONE forward; logits carry stack*num_classes
+    # channels m-major.  Heads of different true widths are padded to
+    # num_classes at weight-stacking time (stack_variables).
+    stack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         enc = EESPNet(s=self.s, reinf=True, compute_dtype=self.compute_dtype,
                       use_pallas=self.use_pallas,
                       fuse_stages=self.fuse_stages,
-                      layout_contract=self.layout_contract, name="base_net")
+                      layout_contract=self.layout_contract, stack=self.stack,
+                      name="base_net")
         l1, l2, l3, l4 = enc.encode(x, train=train)
 
         bp = self.dec_base_planes
@@ -252,17 +273,21 @@ class ESPNetv2Segmentation(nn.Module):
         # (32-64 ch); train keeps the reference order exactly.  Size targets
         # come from the skip tensor, handling odd sizes where a pure x2
         # upsample would be off by one (e.g. 45 -> 23 -> 45).
-        out = EfficientPyrPool(proj, dec_planes[0], name="bu_dec_l1")(l4, train=train)
+        out = EfficientPyrPool(proj, dec_planes[0], stack=self.stack,
+                               name="bu_dec_l1")(l4, train=train)
 
-        m2 = EfficientPWC(dec_planes[0], name="merge_l2")(l3, train=train)
-        out = EfficientPyrPool(proj, dec_planes[1], name="bu_dec_l2")(
-            m2, pre=out, train=train)
+        m2 = EfficientPWC(dec_planes[0], stack=self.stack,
+                          name="merge_l2")(l3, train=train)
+        out = EfficientPyrPool(proj, dec_planes[1], stack=self.stack,
+                               name="bu_dec_l2")(m2, pre=out, train=train)
 
-        m3 = EfficientPWC(dec_planes[1], name="merge_l3")(l2, train=train)
-        out = EfficientPyrPool(proj, dec_planes[2], name="bu_dec_l3")(
-            m3, pre=out, train=train)
+        m3 = EfficientPWC(dec_planes[1], stack=self.stack,
+                          name="merge_l3")(l2, train=train)
+        out = EfficientPyrPool(proj, dec_planes[2], stack=self.stack,
+                               name="bu_dec_l3")(m3, pre=out, train=train)
 
-        m4 = EfficientPWC(dec_planes[2], name="merge_l4")(l1, train=train)
+        m4 = EfficientPWC(dec_planes[2], stack=self.stack,
+                          name="merge_l4")(l1, train=train)
         # logits stay in compute dtype (bf16 under compute_dtype=bfloat16 —
         # halves the traffic of this full-resolution resize and of the
         # downstream softmax); every consumer (losses, pseudo fusion,
@@ -276,12 +301,13 @@ class ESPNetv2Segmentation(nn.Module):
 
             out = EfficientPyrPool(
                 proj, dec_planes[3], last_layer_br=False, fuse_tail=True,
-                channel_major_out=True, name="bu_dec_l4",
+                channel_major_out=True, stack=self.stack, name="bu_dec_l4",
             )(m4, pre=out, train=train)
             return resize_x2_cm_pallas(out, (x.shape[1], x.shape[2]),
                                        align_corners=True)
         out = EfficientPyrPool(
-            proj, dec_planes[3], last_layer_br=False, name="bu_dec_l4"
+            proj, dec_planes[3], last_layer_br=False, stack=self.stack,
+            name="bu_dec_l4"
         )(m4, pre=out, train=train)
         return resize_bilinear(out, (x.shape[1], x.shape[2]),
                                align_corners=True)

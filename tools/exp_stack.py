@@ -18,19 +18,36 @@ for free (the fused einsum never sees them).
 Variants (same batch, same epilogue where comparable):
   A  production headline config: 3 sequential forwards, channel-major
      logits, fused pyrpool tail Pallas kernels + fused_pseudo_soft_cm
-  B  3 sequential forwards, XLA-only (no Pallas, NHWC logits), jnp epilogue
-  C  ONE vmapped stacked forward, XLA-only, identical jnp epilogue
-  (C vs B isolates the stacking effect; A is the number to beat.)
+  B  3 sequential forwards, NHWC logits (pyrpool branch Pallas auto-on,
+     no fused tail), jnp epilogue
+  C  ONE vmapped stacked forward, same config as B, identical jnp epilogue
+  D  ONE structurally-stacked forward (layers/stacking.py: block-diagonal
+     grouped ops, m-major channels, heterogeneous heads padded to 19),
+     same config as B, identical jnp epilogue on the m-major logits
+  (C/D vs B isolate the stacking effect; A is the number to beat.)
+
+  E  D with the model axis lowered as native feature_group_count=3 over
+     per-model-densified blocks (3 WIDE groups, so the known pathological
+     narrow-group case does not apply)
+
+RESULT (v5e, 2026-08-20) — a recorded NEGATIVE (analysis in
+mspl_tpu/layers/stacking.py header): A 1362.8, B 1022.0, C 922.8,
+D 719.9, E 884.4 img/s.  Every stacked lowering loses to the sequential
+loop; the s=2.0 encoder is already lane-full and the stacked densification
+waste is no longer free.
 
 Results (v5e single chip, via the axon tunnel) are recorded in BASELINE.md
 ("r4 perf ladder").
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 128
 HW = (256, 480)
@@ -181,6 +198,110 @@ def main():
 
         results["C_stacked_vmap_xla"] = round(timed(pass_c, imgs_u8), 1)
         print("C", results["C_stacked_vmap_xla"], file=sys.stderr, flush=True)
+
+    if "D" in which:
+        from mspl_tpu.layers.stacking import (
+            pad_variables_to_template,
+            stack_variables,
+        )
+
+        members = []
+        for i, (name, classes) in enumerate(SOURCES):
+            model, variables = _build(classes, 100 + i, False, jrandom, jnp,
+                                      ESPNetv2Segmentation, init_model,
+                                      False)
+            members.append(variables)
+        template_model, template = _build(PAD_C, 100, False, jrandom, jnp,
+                                          ESPNetv2Segmentation, init_model,
+                                          False)
+        sv = stack_variables(
+            [pad_variables_to_template(v, template) for v in members])
+        stacked = ESPNetv2Segmentation(num_classes=PAD_C, s=2.0,
+                                       compute_dtype=jnp.bfloat16,
+                                       use_pallas=False, stack=3)
+
+        @jax.jit
+        def pass_d(u8):
+            imgs = normalize(u8).astype(jnp.bfloat16)
+            lo = stacked.apply(sv, imgs, train=False)  # [B,H,W,3*19] m-major
+            b_, h_, w_, _ = lo.shape
+            logits = jnp.transpose(
+                lo.reshape(b_, h_, w_, 3, PAD_C), (3, 0, 1, 2, 4))
+            return jnp_epilogue(logits)
+
+        results["D_stacked_blockdiag"] = round(timed(pass_d, imgs_u8), 1)
+        print("D", results["D_stacked_blockdiag"], file=sys.stderr,
+              flush=True)
+
+    if "E" in which:
+        # D with a different model-axis lowering: per-model blocks stay
+        # densified (block-diagonal within a model), but the ACROSS-model
+        # grouping uses XLA's native feature_group_count=3 — only 3 wide
+        # groups, so the known pathological narrow-group case does not
+        # apply, and the 3x stacked densification waste of D disappears.
+        from mspl_tpu.layers.stacking import (
+            pad_variables_to_template,
+            stack_variables,
+        )
+        from mspl_tpu.ops import grouped_conv as gc
+
+        orig = gc.grouped_conv2d
+
+        def fg_stack(x, kernel, *, stride=(1, 1), dilation=(1, 1), groups=1,
+                     padding=None):
+            kh, kw, cin_g, cout = kernel.shape
+            cin = x.shape[-1]
+            depthwise = cin_g == 1 and cout == groups
+            if groups % 3 or depthwise or groups == 1 or cin % 3:
+                return orig(x, kernel, stride=stride, dilation=dilation,
+                            groups=groups, padding=padding)
+            gm = groups // 3  # per-model group count
+            if gm > 1:
+                # O axis of the stacked kernel is m-major (m, g, cout_g);
+                # densify WITHIN each model: block-diag over g, keeping the
+                # (G, i) input axis and (m, g, o) output axis ordering that
+                # feature_group_count=3 expects
+                kg = kernel.reshape(kh, kw, cin_g, 3, gm, cout // groups)
+                eye = jnp.eye(gm, dtype=kernel.dtype)
+                dense = jnp.einsum("hwimgo,gG->hwGimgo", kg, eye)
+                kernel = dense.reshape(kh, kw, cin // 3, cout)
+            ph, pw = padding if padding is not None else (
+                dilation[0] * (kh - 1) // 2, dilation[1] * (kw - 1) // 2)
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), stride, [(ph, ph), (pw, pw)],
+                rhs_dilation=dilation, feature_group_count=3,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        members = []
+        for i, (name, classes) in enumerate(SOURCES):
+            model, variables = _build(classes, 100 + i, False, jrandom, jnp,
+                                      ESPNetv2Segmentation, init_model,
+                                      False)
+            members.append(variables)
+        template_model, template = _build(PAD_C, 100, False, jrandom, jnp,
+                                          ESPNetv2Segmentation, init_model,
+                                          False)
+        sv = stack_variables(
+            [pad_variables_to_template(v, template) for v in members])
+        stacked = ESPNetv2Segmentation(num_classes=PAD_C, s=2.0,
+                                       compute_dtype=jnp.bfloat16,
+                                       use_pallas=False, stack=3)
+
+        gc.grouped_conv2d = fg_stack
+        try:
+            @jax.jit
+            def pass_e(u8):
+                imgs = normalize(u8).astype(jnp.bfloat16)
+                lo = stacked.apply(sv, imgs, train=False)
+                b_, h_, w_, _ = lo.shape
+                logits = jnp.transpose(
+                    lo.reshape(b_, h_, w_, 3, PAD_C), (3, 0, 1, 2, 4))
+                return jnp_epilogue(logits)
+
+            results["E_stacked_fg3"] = round(timed(pass_e, imgs_u8), 1)
+        finally:
+            gc.grouped_conv2d = orig
+        print("E", results["E_stacked_fg3"], file=sys.stderr, flush=True)
 
     print(json.dumps(results))
 
