@@ -292,7 +292,7 @@ def main_io(n_images: int = 512, cache: bool = False):
 
     from mspl_tpu.data.datasets import GreenhouseRGBD
     from mspl_tpu.data.loader import DataLoader
-    from mspl_tpu.pseudo.generate import generate_pseudo_labels, make_source
+    from mspl_tpu.pseudo.generate import make_source
     from mspl_tpu.models import ESPNetv2Segmentation, init_model
     import jax.numpy as jnp
 
@@ -350,14 +350,21 @@ def main_io(n_images: int = 512, cache: bool = False):
         _hb(f"h2d: {h2d_mbps:.1f} MB/s")
 
         # production cmd_pseudo flow: device-resident result set, CBST kc
-        # sweep + re-threshold on device, ONE uint8 label fetch for the set
+        # sweep + re-threshold on device, ONE uint8 label fetch for the set.
+        # The generator is built ONCE — a fresh generate_pseudo_labels call
+        # per sweep re-traces and re-loads the compiled pass, ~31 s through
+        # this tunnel even warm (the r4 11.55 img/s artifact in
+        # /tmp/bench_io.log was exactly that; BASELINE.md "Disk-backed
+        # end-to-end" records the probe).
         from mspl_tpu.pseudo.cbst import apply_kc_device, sweep_kc
+        from mspl_tpu.pseudo.generate import PseudoLabelGenerator
+
+        gen = PseudoLabelGenerator(sources)
 
         def sweep():
             t0 = time.perf_counter()
-            labels, confs, idx = generate_pseudo_labels(
-                sources, DataLoader(ds, batch_size=BATCH),
-                return_device=True)
+            labels, confs, idx = gen(
+                DataLoader(ds, batch_size=BATCH), return_device=True)
             kc = sweep_kc(labels, confs, NUM_TARGET, 0.5)
             np.asarray(apply_kc_device(labels, confs, kc))
             return len(idx) / (time.perf_counter() - t0)

@@ -1,4 +1,5 @@
 from mspl_tpu.pseudo.generate import (
+    PseudoLabelGenerator,
     SourceModel,
     fused_pseudo_pass,
     generate_pseudo_labels,
@@ -15,6 +16,7 @@ __all__ = [
     "make_source",
     "fused_pseudo_pass",
     "generate_pseudo_labels",
+    "PseudoLabelGenerator",
     "class_confidence_histograms",
     "kc_from_histograms",
     "SelfTrainConfig",

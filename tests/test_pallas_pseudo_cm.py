@@ -68,6 +68,7 @@ def test_cm_resize_matches_nhwc_resize():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # ~80 s on 1 core: two full-model forwards
 def test_model_channel_major_logits_match():
     import jax
 

@@ -157,3 +157,35 @@ def test_pseudo_labeled_dataset_roundtrip():
     img, lab = ds.load(0)  # sorted -> original index 0 pairs with labels[5]
     np.testing.assert_array_equal(img, base.load(0)[0])
     np.testing.assert_array_equal(lab, labels[5])
+
+
+def test_generator_reuse_matches_oneshot():
+    """PseudoLabelGenerator built once and swept repeatedly is bit-identical
+    to per-call generate_pseudo_labels, and two sweeps reuse ONE compiled
+    pass (the r4 disk-backed finding: a fresh build costs ~31 s through the
+    remote-TPU tunnel — BASELINE.md "Disk-backed end-to-end")."""
+    from mspl_tpu.pseudo.generate import (PseudoLabelGenerator,
+                                          generate_pseudo_labels)
+
+    target = SyntheticSegmentation(num_classes=NUM_CLASSES, size_wh=(32, 24),
+                                   length=10, seed=11, unlabeled=True)
+    sources = [
+        _palette_source(target.palette, sharp=4.0, name="src_a"),
+        _palette_source(target.palette, sharp=2.0, name="src_b"),
+    ]
+    loader = DataLoader(target, batch_size=4)
+    lab_ref, conf_ref, idx_ref = generate_pseudo_labels(sources, loader)
+
+    gen = PseudoLabelGenerator(sources)
+    pass0 = gen._batch_pass
+    for _ in range(2):  # repeated sweeps: same program object, same bits
+        lab, conf, idx = gen(loader)
+        assert gen._batch_pass is pass0
+        np.testing.assert_array_equal(lab, lab_ref)
+        np.testing.assert_array_equal(conf, conf_ref)
+        np.testing.assert_array_equal(idx, idx_ref)
+    # mixed-mode call on the same generator: device-resident sweep agrees
+    lab_d, conf_d, idx_d = gen(loader, return_device=True)
+    np.testing.assert_array_equal(np.asarray(lab_d).astype(np.int32), lab_ref)
+    np.testing.assert_array_equal(np.asarray(conf_d), conf_ref)
+    np.testing.assert_array_equal(idx_d, idx_ref)

@@ -60,6 +60,7 @@ def test_stacked_concat_and_shuffle():
     np.testing.assert_array_equal(np.asarray(sh), want)
 
 
+@pytest.mark.slow  # ~2 min/case on 1 core: two full s=2.0 forwards
 @pytest.mark.parametrize("train", [False, True])
 def test_stacked_forward_matches_members_uniform(train):
     """Three same-width members (equal classifier) stacked: slices of the
@@ -120,6 +121,7 @@ def test_stacked_forward_matches_members_uniform(train):
                                            err_msg=str(k))
 
 
+@pytest.mark.slow  # ~2.5 min on 1 core (3-member stacked forward)
 def test_stacked_forward_heterogeneous_heads():
     """The production ensemble shape: classifier widths 19/5 with
     dec_base_planes=16 give DIFFERENT pyrpool proj widths (9 vs 8, the real

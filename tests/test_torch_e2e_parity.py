@@ -37,6 +37,7 @@ def _randomize_stats(variables, seed=0):
     return jax.tree_util.tree_map_with_path(perturb, variables)
 
 
+@pytest.mark.slow  # ~45 s/case on 1 core: torch + flax e2e forwards
 @pytest.mark.parametrize("s,classes", [(0.5, 11), (1.0, 5)])
 def test_e2e_logits_parity(s, classes):
     model = ESPNetv2Segmentation(num_classes=classes, s=s, dec_base_planes=8)

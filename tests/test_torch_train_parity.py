@@ -28,6 +28,7 @@ pixel count, far inside every tolerance used here.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -89,6 +90,7 @@ def _twins():
     return model, variables, tmodel
 
 
+@pytest.mark.slow  # ~2 min on 1 core: full fwd+bwd in torch AND flax
 def test_gradient_parity_at_init():
     """Direct, chaos-free semantics gate: at the transplanted init, the CE
     loss AND the global gradient norm (over all trainable params, train-mode
@@ -126,6 +128,7 @@ def optax_global_norm(tree):
                         for x in jax.tree_util.tree_leaves(tree)))
 
 
+@pytest.mark.slow  # ~1.5 min on 1 core: 20 SGD steps in both stacks
 def test_sgd_trajectory_parity():
     model, variables, tmodel = _twins()
     tmodel.train()
