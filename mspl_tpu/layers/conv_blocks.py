@@ -35,9 +35,13 @@ def _pair(v) -> Tuple[int, int]:
 
 
 class PReLU(nn.Module):
-    """Per-channel PReLU: y = max(x, 0) + alpha_c * min(x, 0); alpha init 0.25."""
+    """Per-channel PReLU: y = max(x, 0) + alpha_c * min(x, 0); alpha init 0.25.
+
+    ``cm=True`` treats the input as channel-major [B, C, H, W] (the train
+    decoder's layout, ops/cm_ops.py); the parameter tree is identical."""
 
     features: int
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -45,7 +49,51 @@ class PReLU(nn.Module):
             "alpha", lambda key, shape: jnp.full(shape, 0.25, jnp.float32), (self.features,)
         )
         alpha = alpha.astype(x.dtype)
+        if self.cm:
+            alpha = alpha[:, None, None]
         return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
+class _CMConv(nn.Module):
+    """Channel-major conv leaf ([B, C, H, W] in/out, ops/cm_ops.py).
+
+    Parameter names and shapes ('kernel' HWIO, optional 'bias') match
+    ``nn.Conv``/``_GroupedConv`` exactly, so a checkpoint trained through
+    either layout path loads into the other bit-for-bit.  Decoder-only
+    scope: stride 1, dilation 1, kernel size 1 or 3."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    dilation: Tuple[int, int]
+    groups: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mspl_tpu.ops.cm_ops import cm_conv1x1, cm_conv3x3
+
+        kh, kw = self.kernel_size
+        if (self.stride != (1, 1) or self.dilation != (1, 1)
+                or (kh, kw) not in ((1, 1), (3, 3))):
+            raise NotImplementedError(
+                f"channel-major conv supports stride 1 / dilation 1 / k in "
+                f"{{1,3}}; got k={self.kernel_size} s={self.stride} "
+                f"d={self.dilation}")
+        cin = x.shape[1]
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (kh, kw, cin // self.groups, self.features), jnp.float32,
+        )
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        if (kh, kw) == (1, 1):
+            return cm_conv1x1(x, kernel, groups=self.groups, bias=bias)
+        out = cm_conv3x3(x, kernel, groups=self.groups)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)[:, None, None]
+        return out
 
 
 class _GroupedConv(nn.Module):
@@ -82,7 +130,10 @@ class _GroupedConv(nn.Module):
 
 
 class C(nn.Module):
-    """Plain conv, no BN/activation, no bias (reference `C`)."""
+    """Plain conv, no BN/activation, no bias (reference `C`).
+
+    ``cm=True``: channel-major [B, C, H, W] input/output (train-decoder
+    layout); same parameter tree as the NHWC paths."""
 
     features: int
     kernel_size: int = 3
@@ -90,11 +141,18 @@ class C(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = False
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = _pair(self.kernel_size)
         d = _pair(self.dilation)
+        if self.cm:
+            return _CMConv(
+                features=self.features, kernel_size=k,
+                stride=_pair(self.stride), dilation=d, groups=self.groups,
+                use_bias=self.use_bias, name="Conv_0",
+            )(x)
         if self.groups > 1:
             return _GroupedConv(
                 features=self.features, kernel_size=k,
@@ -139,9 +197,14 @@ class CDilated(nn.Module):
 
 
 class BR(nn.Module):
-    """BatchNorm + PReLU (reference `BR`)."""
+    """BatchNorm + PReLU (reference `BR`).
+
+    ``cm=True``: channel-major [B, C, H, W] (feature axis 1); parameter
+    tree unchanged.  Incompatible with ``bn_stat_groups`` > 1 (the grouped
+    unsynced-BN path supports axis -1 only — layers/bn.py)."""
 
     features: int
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -151,19 +214,20 @@ class BR(nn.Module):
         # batch_stats (param_dtype default).
         x = BatchNorm(
             use_running_average=not train, momentum=_BN_MOMENTUM,
-            epsilon=_BN_EPS, dtype=x.dtype,
+            epsilon=_BN_EPS, dtype=x.dtype, axis=1 if self.cm else -1,
         )(x)
-        return PReLU(self.features)(x)
+        return PReLU(self.features, cm=self.cm)(x)
 
 
 class CB(nn.Module):
-    """Conv + BatchNorm (reference `CB`)."""
+    """Conv + BatchNorm (reference `CB`).  ``cm``: see ``BR``."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
     groups: int = 1
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -173,21 +237,23 @@ class CB(nn.Module):
             stride=self.stride,
             dilation=self.dilation,
             groups=self.groups,
+            cm=self.cm,
         )(x)
         return BatchNorm(
             use_running_average=not train, momentum=_BN_MOMENTUM,
-            epsilon=_BN_EPS, dtype=x.dtype,
+            epsilon=_BN_EPS, dtype=x.dtype, axis=1 if self.cm else -1,
         )(x)
 
 
 class CBR(nn.Module):
-    """Conv + BatchNorm + PReLU (reference `CBR`)."""
+    """Conv + BatchNorm + PReLU (reference `CBR`).  ``cm``: see ``BR``."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
     groups: int = 1
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -197,5 +263,6 @@ class CBR(nn.Module):
             stride=self.stride,
             dilation=self.dilation,
             groups=self.groups,
+            cm=self.cm,
         )(x, train=train)
-        return PReLU(self.features)(x)
+        return PReLU(self.features, cm=self.cm)(x)

@@ -57,6 +57,12 @@ class EfficientPyrPool(nn.Module):
     # ensemble weight stacking (layers/stacking.py): proj_features /
     # out_features stay PER-MODEL; the block carries `stack` models m-major
     stack: int = 1
+    # channel-major TRAIN layout (VERDICT r3 item 4, ops/cm_ops.py): input,
+    # `pre`, and output are [B, C, H, W]; every op runs natively in that
+    # layout so XLA never batch-minors the lane-starved decoder tensors.
+    # Orthogonal to the eval kernel paths (use_pallas/fuse_tail), which
+    # this flag bypasses.  Parameter tree identical to the NHWC path.
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pre: jnp.ndarray | None = None,
@@ -68,6 +74,10 @@ class EfficientPyrPool(nn.Module):
         s = self.stack
         p = self.proj_features
         scales = tuple(sorted(self.scales, reverse=True))
+        if self.cm:
+            if s > 1:
+                raise NotImplementedError("cm + ensemble stacking")
+            return self._cm_forward(x, pre, train, scales)
         # `pre`: a lower-resolution decoder tensor to be bilinearly upsampled
         # to x's size and ADDED to x before this block (the bottom-up decoder
         # skip merge).  Folding the merge in here lets eval commute the 1x1
@@ -210,16 +220,64 @@ class EfficientPyrPool(nn.Module):
             out = jnp.transpose(out, (0, 3, 1, 2))
         return out
 
+    def _cm_forward(self, x, pre, train, scales):
+        """Channel-major train forward: same math and parameter tree as the
+        jnp NHWC path, every op on [B, C, H, W] (ops/cm_ops.py).  Exactness
+        vs the NHWC path: tests/test_cm_decoder.py."""
+        from mspl_tpu.ops.cm_ops import channel_shuffle_cm, pyr_branches_cm
+        from mspl_tpu.ops.resize import resize_bilinear_cm
+
+        p = self.proj_features
+        if pre is not None:
+            x = x + resize_bilinear_cm(pre, (x.shape[2], x.shape[3]),
+                                       align_corners=True)
+        x = CBR(p, kernel_size=1, stride=1, name="proj", cm=True)(
+            x, train=train)
+        dw_kernels = [
+            self.param(f"dw_s{i}_kernel", nn.initializers.he_normal(),
+                       (3, 3, 1, p), jnp.float32)
+            for i in range(len(scales))
+        ]
+        wstack = jnp.stack([k[:, :, 0, :] for k in dw_kernels])
+        out = pyr_branches_cm(x, wstack, scales)
+        out = BR(out.shape[1], name="merge_br", cm=True)(out, train=train)
+        out = channel_shuffle_cm(out, groups=len(scales))
+        out = CBR(p, kernel_size=3, stride=1, groups=p, name="merge_cbr",
+                  cm=True)(out, train=train)
+        out = C(self.out_features, kernel_size=1, stride=1,
+                use_bias=not self.last_layer_br, name="classify",
+                cm=True)(out)
+        if self.last_layer_br:
+            out = BR(self.out_features, name="last_br", cm=True)(
+                out, train=train)
+        return out
+
 
 class EfficientPWC(nn.Module):
-    """Efficient pointwise expansion with a global-context sigmoid gate."""
+    """Efficient pointwise expansion with a global-context sigmoid gate.
+
+    ``cm=True``: channel-major [B, C, H, W] train layout (see
+    EfficientPyrPool.cm); parameter tree identical."""
 
     out_features: int
     stack: int = 1  # ensemble weight stacking; out_features is PER-MODEL
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         s = self.stack
+        if self.cm:
+            if s > 1:
+                raise NotImplementedError("cm + ensemble stacking")
+            nin, nout = x.shape[1], self.out_features
+            gate = jnp.mean(x, axis=(2, 3), keepdims=True)
+            gate = C(nout, kernel_size=1, stride=1, name="wt_conv",
+                     cm=True)(gate)
+            gate = nn.sigmoid(gate)
+            out = CBR(nout, kernel_size=3, stride=1,
+                      groups=math.gcd(nin, nout), name="expand",
+                      cm=True)(x, train=train)
+            return out * gate
         nin, nout = x.shape[-1] // s, self.out_features
         gate = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
         gate = C(nout * s, kernel_size=1, stride=1, groups=s,

@@ -251,6 +251,15 @@ class ESPNetv2Segmentation(nn.Module):
     # channels m-major.  Heads of different true widths are padded to
     # num_classes at weight-stacking time (stack_variables).
     stack: int = 1
+    # channel-major TRAIN decoder (VERDICT r3 item 4, ops/cm_ops.py): during
+    # training the decoder runs entirely on [B, C, H, W] — encoder taps are
+    # transposed ONCE instead of XLA batch-minoring every lane-starved
+    # decoder conv's operands (~15 flip copies/step in the r3 trace).  Eval
+    # keeps the NHWC + Pallas kernel pipeline.  Parameter tree identical,
+    # so checkpoints are interchangeable; math parity:
+    # tests/test_cm_decoder.py.  Whole-step A/B: BASELINE.md backward
+    # roofline (r4).
+    cm_decoder: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -260,6 +269,8 @@ class ESPNetv2Segmentation(nn.Module):
                       layout_contract=self.layout_contract, stack=self.stack,
                       name="base_net")
         l1, l2, l3, l4 = enc.encode(x, train=train)
+        if self.cm_decoder and train and self.stack == 1:
+            return self._cm_decode(x, l1, l2, l3, l4, train)
 
         bp = self.dec_base_planes
         dec_planes = (4 * bp, 3 * bp, 2 * bp, self.num_classes)
@@ -311,3 +322,37 @@ class ESPNetv2Segmentation(nn.Module):
         )(m4, pre=out, train=train)
         return resize_bilinear(out, (x.shape[1], x.shape[2]),
                                align_corners=True)
+
+    def _cm_decode(self, x, l1, l2, l3, l4, train):
+        """Channel-major train decoder: one transpose per encoder tap, then
+        the whole bottom-up decoder on [B, C, H, W] (layers/pyramid_pool.py
+        cm=True paths).  Logits return in the module's declared layout
+        (channel-major when `channel_major_logits`, else NHWC) — exactness
+        vs the NHWC decoder: tests/test_cm_decoder.py."""
+        from mspl_tpu.ops.resize import resize_bilinear_cm
+
+        bp = self.dec_base_planes
+        dec_planes = (4 * bp, 3 * bp, 2 * bp, self.num_classes)
+        proj = min(bp, max(self.num_classes // 2, 8))
+        t = lambda v: jnp.transpose(v, (0, 3, 1, 2))  # noqa: E731
+
+        out = EfficientPyrPool(proj, dec_planes[0], cm=True,
+                               name="bu_dec_l1")(t(l4), train=train)
+        m2 = EfficientPWC(dec_planes[0], cm=True,
+                          name="merge_l2")(t(l3), train=train)
+        out = EfficientPyrPool(proj, dec_planes[1], cm=True,
+                               name="bu_dec_l2")(m2, pre=out, train=train)
+        m3 = EfficientPWC(dec_planes[1], cm=True,
+                          name="merge_l3")(t(l2), train=train)
+        out = EfficientPyrPool(proj, dec_planes[2], cm=True,
+                               name="bu_dec_l3")(m3, pre=out, train=train)
+        m4 = EfficientPWC(dec_planes[2], cm=True,
+                          name="merge_l4")(t(l1), train=train)
+        out = EfficientPyrPool(proj, dec_planes[3], last_layer_br=False,
+                               cm=True, name="bu_dec_l4")(m4, pre=out,
+                                                          train=train)
+        out = resize_bilinear_cm(out, (x.shape[1], x.shape[2]),
+                                 align_corners=True)
+        if self.channel_major_logits:
+            return out
+        return jnp.transpose(out, (0, 2, 3, 1))

@@ -20,6 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cm", action="store_true",
+                    help="channel-major train decoder (cm_decoder=True)")
     args = ap.parse_args()
 
     import jax
@@ -37,7 +39,8 @@ def main():
 
     HW = (256, 480)
     model = ESPNetv2Segmentation(num_classes=11, s=2.0,
-                                 compute_dtype=jnp.bfloat16)
+                                 compute_dtype=jnp.bfloat16,
+                                 cm_decoder=args.cm)
     variables = init_model(model, HW)
     tx = build_optimizer("sgd", build_schedule("fixed", 0.009, 1000))
     state = create_train_state(model, variables, tx)
@@ -64,8 +67,8 @@ def main():
         packed, metrics = tstep(packed, batch, key)
     device_sync(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"train step b{args.batch}: {dt * 1e3:.1f} ms/step  "
-          f"{args.batch / dt:.1f} img/s")
+    print(f"train step b{args.batch}{' cm' if args.cm else ''}: "
+          f"{dt * 1e3:.1f} ms/step  {args.batch / dt:.1f} img/s")
 
 
 if __name__ == "__main__":
