@@ -86,6 +86,19 @@ def _print_model_card(model, variables, shape_hw, channels: int = 3) -> None:
     print_info_message(msg)
 
 
+def _cm_decoder_kw(args) -> dict:
+    """--cm-decoder -> model kwargs (espnetv2-only; the channel-major BN
+    path normalizes on axis 1, which the grouped unsynced-BN mode does not
+    support — layers/bn.py)."""
+    if not getattr(args, "cm_decoder", False):
+        return {}
+    if args.model != "espnetv2":
+        raise SystemExit("--cm-decoder is espnetv2-only")
+    if getattr(args, "bn_groups", 1) > 1:
+        raise SystemExit("--cm-decoder is incompatible with --bn-groups > 1")
+    return {"cm_decoder": True}
+
+
 def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="espnetv2", choices=MODEL_NAMES)
     p.add_argument("--s", type=float, default=2.0, help="ESPNetv2 width scaler")
@@ -105,6 +118,12 @@ def _add_common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations in the backward "
                         "(jax.checkpoint) to fit larger batch x crop in HBM")
+    p.add_argument("--cm-decoder", action="store_true",
+                   help="run the espnetv2 TRAIN decoder channel-major "
+                        "([B,C,H,W]; ops/cm_ops.py) — removes the layout "
+                        "flips XLA inserts around its lane-starved NHWC "
+                        "convs; eval is unaffected and checkpoints are "
+                        "layout-interchangeable")
     p.add_argument("--bn-groups", type=int, default=1,
                    help="BatchNorm statistics scope: 1 = global batch "
                         "(synced, default); N>1 = per contiguous batch group "
@@ -149,6 +168,7 @@ def cmd_train(args) -> Dict:
     model = build_segmentation_model(
         args.model, num_classes=info.num_classes, s=args.s,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        **_cm_decoder_kw(args),
     )
     in_ch = getattr(train_ds, "channels", 3)
     variables = init_model(model, train_ds.shape_hw, channels=in_ch)
@@ -478,7 +498,8 @@ def cmd_selftrain(args) -> Dict:
     else:
         model = build_segmentation_model(
             args.model, num_classes=t, s=args.s,
-            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            **_cm_decoder_kw(args))
         variables = init_model(model, target_ds.shape_hw, channels=in_ch)
 
     # the ensemble grows by the fine-tuned target model after round 0

@@ -175,7 +175,11 @@ def sweep_kc(
 ) -> np.ndarray:
     """Convenience: histogram a full label/conf set (device scatter-add in
     one jit call) and return kc."""
-    hist = jax.jit(
-        class_confidence_histograms, static_argnums=(2, 3)
-    )(jnp.asarray(labels), jnp.asarray(confs), num_classes, num_bins)
+    hist = _hist_jit(jnp.asarray(labels), jnp.asarray(confs), num_classes,
+                     num_bins)
     return kc_from_histograms(np.asarray(hist), p)
+
+
+# module-level jit: repeated sweeps reuse one traced program instead of
+# re-tracing per call (the r4 disk-backed finding, BASELINE.md)
+_hist_jit = jax.jit(class_confidence_histograms, static_argnums=(2, 3))
