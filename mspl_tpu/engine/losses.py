@@ -38,16 +38,23 @@ def segmentation_loss(
     reg_mode: str = "none",  # 'none' | 'kld' | 'ent'  (CRST MRKLD / MRENT)
     reg_weight: float = 0.0,
     batch_mask: Optional[jnp.ndarray] = None,
+    channel_axis: int = -1,
 ) -> jnp.ndarray:
     """Mean cross-entropy over non-ignored pixels.
 
     logits: [B, H, W, C] (any float dtype; upcast to fp32), labels: [B, H, W].
     `batch_mask`: optional [B] bool — False rows (padded tail samples)
-    contribute nothing.
+    contribute nothing.  `channel_axis=1` accepts channel-major
+    [B, C, H, W] logits (the cm_decoder train layout) without transposing
+    them — the whole computation is re-expressed with C on axis 1, values
+    identical.
     """
-    b, h, w, c = logits.shape
+    if channel_axis == 1:
+        b, c, h, w = logits.shape
+    else:
+        b, h, w, c = logits.shape
     logits = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=channel_axis)
 
     valid = labels != ignore_label
     if batch_mask is not None:
@@ -58,13 +65,22 @@ def segmentation_loss(
     # (and its scatter-add backward) lowers to a serial T(1024) op on TPU —
     # measured 120 ms/step at batch 64, 43% of the whole train step.  The
     # one-hot multiply-reduce is a lane-parallel VPU op over the same array.
-    onehot = (safe_labels[..., None] ==
-              jnp.arange(c, dtype=jnp.int32)).astype(jnp.float32)
-    pixel_loss = -(logp * onehot).sum(axis=-1)
+    if channel_axis == 1:
+        onehot = (safe_labels[:, None] ==
+                  jnp.arange(c, dtype=jnp.int32)[None, :, None, None]
+                  ).astype(jnp.float32)
+        cw_bcast = (None if class_weights is None
+                    else jnp.asarray(class_weights,
+                                     jnp.float32)[None, :, None, None])
+    else:
+        onehot = (safe_labels[..., None] ==
+                  jnp.arange(c, dtype=jnp.int32)).astype(jnp.float32)
+        cw_bcast = (None if class_weights is None
+                    else jnp.asarray(class_weights, jnp.float32))
+    pixel_loss = -(logp * onehot).sum(axis=channel_axis)
 
-    if class_weights is not None:
-        cw = jnp.asarray(class_weights, jnp.float32)
-        wts = (onehot * cw).sum(axis=-1)
+    if cw_bcast is not None:
+        wts = (onehot * cw_bcast).sum(axis=channel_axis)
     else:
         wts = jnp.ones_like(pixel_loss)
     wts = jnp.where(valid, wts, 0.0)
@@ -77,10 +93,10 @@ def segmentation_loss(
         if reg_mode == "kld":
             # KLD(p || uniform) up to a constant = -mean(log p)/C  — pushes
             # predictions on pseudo-pixels toward smoother distributions
-            reg = -logp.mean(axis=-1) / 1.0
+            reg = -logp.mean(axis=channel_axis) / 1.0
             reg = reg / c
         elif reg_mode == "ent":
-            reg = (p * logp).sum(axis=-1)  # negative entropy
+            reg = (p * logp).sum(axis=channel_axis)  # negative entropy
             reg = reg / c
         else:
             raise ValueError(f"unknown reg_mode '{reg_mode}'")

@@ -137,10 +137,15 @@ def make_train_step(
 
         def loss_fn(params):
             out, mutated = fwd(params, imgs)
+            # channel_major_logits models emit [B, C, H, W] in train too
+            # (natively under cm_decoder); the loss consumes that layout
+            # directly instead of forcing an exit transpose pair
             loss = segmentation_loss(
                 out, labels, class_weights=cw,
                 reg_mode=reg_mode, reg_weight=reg_weight,
                 batch_mask=batch.get("valid"),
+                channel_axis=(1 if getattr(model, "channel_major_logits",
+                                           False) else -1),
             )
             return loss, (out, mutated)
 
@@ -186,7 +191,9 @@ def make_eval_step(model, num_classes: int, mean=None, std=None,
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, imgs, train=False
         )
-        pred = jnp.argmax(out, axis=-1)
+        pred = jnp.argmax(
+            out, axis=1 if getattr(model, "channel_major_logits", False)
+            else -1)
         return confusion_matrix(
             pred, batch["label"], num_classes, batch_mask=batch.get("valid")
         )

@@ -140,3 +140,23 @@ def test_cm_decoder_eval_unaffected():
     a = nhwc.apply(variables, x, train=False)
     b = cm.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loss_channel_axis_matches():
+    """segmentation_loss(channel_axis=1) on [B,C,H,W] equals the NHWC form
+    for every option combination (weights, reg modes, batch mask)."""
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.normal(size=(3, 8, 10, 6)).astype(np.float32))
+    labels = np.asarray(rng.integers(0, 6, size=(3, 8, 10)), np.int32)
+    labels[0, :2] = 255  # ignore pixels
+    labels = jnp.asarray(labels)
+    cw = jnp.asarray(rng.uniform(0.5, 2.0, size=6).astype(np.float32))
+    mask = jnp.asarray([True, True, False])
+    for kw in ({}, {"class_weights": cw}, {"batch_mask": mask},
+               {"reg_mode": "kld", "reg_weight": 0.1},
+               {"reg_mode": "ent", "reg_weight": 0.1},
+               {"class_weights": cw, "batch_mask": mask,
+                "reg_mode": "kld", "reg_weight": 0.3}):
+        ref = segmentation_loss(logits, labels, **kw)
+        got = segmentation_loss(_cm(logits), labels, channel_axis=1, **kw)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, err_msg=str(kw))

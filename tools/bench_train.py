@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cm", action="store_true",
                     help="channel-major train decoder (cm_decoder=True)")
+    ap.add_argument("--cml", action="store_true",
+                    help="with --cm: channel-major logits into the loss "
+                         "(channel_major_logits=True; no exit transpose)")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +43,8 @@ def main():
     HW = (256, 480)
     model = ESPNetv2Segmentation(num_classes=11, s=2.0,
                                  compute_dtype=jnp.bfloat16,
-                                 cm_decoder=args.cm)
+                                 cm_decoder=args.cm,
+                                 channel_major_logits=args.cml)
     variables = init_model(model, HW)
     tx = build_optimizer("sgd", build_schedule("fixed", 0.009, 1000))
     state = create_train_state(model, variables, tx)
@@ -68,6 +72,7 @@ def main():
     device_sync(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"train step b{args.batch}{' cm' if args.cm else ''}: "
+          f"{'cml ' if args.cml else ''}"
           f"{dt * 1e3:.1f} ms/step  {args.batch / dt:.1f} img/s")
 
 
