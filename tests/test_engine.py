@@ -339,3 +339,44 @@ def test_packed_eval_step_matches_plain():
     packed = jax.jit(packer.pack)(state)
     viapack = make_eval_step(model, 3, packer=packer)(packed, None, batch)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(viapack))
+
+
+@pytest.mark.slow  # ~3 min on 1 core: compiles 3 full train steps
+def test_cm_decoder_step_matches_nhwc():
+    """A full train step through the channel-major decoder (cm_decoder=True,
+    with and without channel-major logits into the loss) matches the NHWC
+    step: same loss, same updated params within fp32 reduction noise."""
+    import optax
+
+    from mspl_tpu.engine.train import (build_optimizer, create_train_state,
+                                       make_train_step)
+    from mspl_tpu.models import ESPNetv2Segmentation, init_model
+
+    rng = np.random.RandomState(1)
+    base = ESPNetv2Segmentation(num_classes=3, s=0.5, dec_base_planes=8)
+    variables = init_model(base, (16, 24))
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (4, 16, 24, 3)), jnp.uint8),
+        "label": jnp.asarray(rng.randint(0, 3, (4, 16, 24)), jnp.int32),
+        "valid": jnp.ones((4,), bool),
+    }
+    key = jax.random.PRNGKey(0)
+    outs = []
+    import dataclasses as dc
+    for model in (base,
+                  dc.replace(base, cm_decoder=True),
+                  dc.replace(base, cm_decoder=True,
+                             channel_major_logits=True)):
+        tx = build_optimizer("sgd", optax.constant_schedule(1e-2))
+        vcopy = jax.tree_util.tree_map(jnp.array, variables)
+        state = create_train_state(model, vcopy, tx)
+        step = make_train_step(model, crop_hw=(16, 24),
+                               scale_range=(0.9, 1.1))
+        state, m = step(state, batch, key)
+        outs.append((float(m["loss"]), state.params))
+    for loss, params in outs[1:]:
+        assert np.isclose(outs[0][0], loss, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-6)
