@@ -83,7 +83,9 @@ def capture(what: str, iters: int, batch: int) -> str:
         HW = (256, 480)
         batch = batch if batch != 128 else 64
         model = ESPNetv2Segmentation(num_classes=11, s=2.0,
-                                     compute_dtype=jnp.bfloat16)
+                                     compute_dtype=jnp.bfloat16,
+                                     cm_decoder=bool(int(os.environ.get(
+                                         "MSPL_PROF_CM", "0"))))
         variables = init_model(model, HW)
         tx = build_optimizer("sgd", build_schedule("fixed", 0.009, 1000))
         state = create_train_state(model, variables, tx)
