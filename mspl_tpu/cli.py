@@ -42,6 +42,17 @@ def _save_model(ckpt_dir: str, variables: Dict, meta: Dict) -> None:
     save_checkpoint(ckpt_dir, variables, meta, name=MODEL_CKPT)
 
 
+def _is_torch_ckpt(path: str) -> bool:
+    return path.endswith((".pth", ".pt", ".pth.tar"))
+
+
+def _meta_stem(path: str) -> str:
+    for suf in (".pth.tar", ".pth", ".pt"):
+        if path.endswith(suf):
+            return path[: -len(suf)]
+    return os.path.splitext(path)[0]
+
+
 def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
     """Load a model checkpoint saved by `train`; rebuild the model from its
     meta.  Returns (model, variables, meta)."""
@@ -54,6 +65,16 @@ def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
         path = os.path.join(path_or_dir, MODEL_CKPT + ".msgpack")
     else:
         path = path_or_dir
+    if _is_torch_ckpt(path):
+        # torch .pth with the same-stem JSON meta sidecar the native format
+        # uses (utils/torch_import.py; `import-torch` writes a native dir
+        # instead, so this direct path is for ad-hoc use)
+        from mspl_tpu.utils.torch_import import import_torch_checkpoint
+
+        with open(_meta_stem(path) + ".json") as f:
+            meta = json.load(f)
+        model, variables = import_torch_checkpoint(path, meta)
+        return model, variables, meta
     with open(os.path.splitext(path)[0] + ".json") as f:
         meta = json.load(f)
     model = build_segmentation_model(
@@ -533,6 +554,51 @@ def cmd_selftrain(args) -> Dict:
     return res
 
 
+def cmd_import_torch(args) -> Dict:
+    """Convert a reference-style torch .pth checkpoint into a native
+    checkpoint dir (SURVEY.md §2 "Pretrained weights" — the artifacts
+    cannot be fetched here, but a migrating user's .pth files load)."""
+    import torch
+
+    from mspl_tpu.utils.torch_import import (import_torch_checkpoint,
+                                             unwrap_state_dict)
+
+    meta = {
+        "model": args.model,
+        "num_classes": args.num_classes,
+        "s": args.s,
+        "dataset": args.dataset,
+        "bf16": bool(args.bf16),
+        "input_hw": [args.size[1], args.size[0]] if args.size else None,
+        "in_channels": 3,
+        "imported_from": os.path.abspath(args.pth),
+    }
+    model, variables = import_torch_checkpoint(args.pth, meta)
+    n_keys = len(unwrap_state_dict(
+        torch.load(args.pth, map_location="cpu", weights_only=True)))
+    _save_model(args.out_dir, variables, meta)
+    print_info_message(
+        f"imported {n_keys} torch tensors -> {args.out_dir} "
+        f"({args.model}, {args.num_classes} classes, s={args.s})")
+    return {"out_dir": args.out_dir, "n_torch_tensors": n_keys}
+
+
+def cmd_export_torch(args) -> Dict:
+    """Export a native checkpoint as a torch state dict (.pth) runnable by
+    the documented-architecture torch twin (mspl_tpu/oracle/)."""
+    import torch
+
+    from mspl_tpu.utils.torch_import import export_torch_state_dict
+
+    model, variables, meta = load_model_checkpoint(args.checkpoint)
+    sd = export_torch_state_dict(
+        meta["model"], variables, num_classes=int(meta["num_classes"]),
+        s=float(meta.get("s", 2.0)))
+    torch.save(sd, args.out)
+    print_info_message(f"exported {len(sd)} tensors -> {args.out}")
+    return {"out": args.out, "n_tensors": len(sd)}
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="mspl_tpu",
@@ -635,6 +701,34 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=lambda a: __import__("bench").main())
+
+    it = sub.add_parser(
+        "import-torch",
+        help="convert a torch .pth checkpoint to a native checkpoint dir")
+    it.add_argument("--pth", required=True, help="torch state dict / "
+                    "checkpoint file (.pth/.pt/.pth.tar; 'module.' "
+                    "prefixes and checkpoint envelopes handled)")
+    it.add_argument("--model", required=True, choices=MODEL_NAMES)
+    it.add_argument("--num-classes", type=int, required=True)
+    it.add_argument("--s", type=float, default=2.0)
+    it.add_argument("--dataset", default=None,
+                    choices=SEGMENTATION_DATASETS,
+                    help="recorded in the meta (drives label-space "
+                         "conversion when used as a pseudo source)")
+    it.add_argument("--size", type=int, nargs=2, default=None,
+                    metavar=("W", "H"))
+    it.add_argument("--bf16", action="store_true",
+                    help="mark the model for bf16 compute at load time")
+    it.add_argument("--out-dir", required=True)
+    it.set_defaults(fn=cmd_import_torch)
+
+    et = sub.add_parser(
+        "export-torch",
+        help="export a native checkpoint as a torch .pth state dict")
+    et.add_argument("--checkpoint", required=True,
+                    help="native checkpoint dir or .msgpack file")
+    et.add_argument("--out", required=True, help="output .pth path")
+    et.set_defaults(fn=cmd_export_torch)
     return ap
 
 
