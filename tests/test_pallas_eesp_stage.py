@@ -26,6 +26,9 @@ def _randomize_stats(v, rng):
     return {"params": v["params"], "batch_stats": walk(v["batch_stats"])}
 
 
+@pytest.mark.slow  # default-off experiment kernel (recorded negative
+# result, ops/pallas_eesp_stage.py header); the fast tier keeps the
+# direct-kernel canary below
 @pytest.mark.parametrize("hw", [(16, 24), (16, 16)])  # 16x16: W%8==0 ->
 def test_fused_stage_matches_lax(hw):                 # every dilation masked
     rng = np.random.RandomState(0)
@@ -68,6 +71,7 @@ def test_fused_stage_kernel_direct():
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow  # default-off experiment mode (see above)
 @pytest.mark.parametrize("hw", [(32, 80), (16, 24)])
 def test_layout_contract_matches_lax(hw):
     """Padded-layout-contract eval (EESPNet.layout_contract: zero-padded
