@@ -249,17 +249,40 @@ class PseudoLabelGenerator:
             sources, mode, kc, normalize_fn, ignore_label, use_pallas,
             mesh, conf_mode, min_agree)
 
+    def _prefetched(self, loader):
+        """Iterate (host_batch, device_images) with ONE batch of h2d
+        lookahead: batch k+1's transfer is issued before batch k's result
+        is consumed, so the (async) PJRT transfer overlaps device compute
+        instead of serializing with it — the device-side analog of the
+        loader's producer thread.  Costs one extra input batch of HBM
+        (uint8, ~47 MB at the production shape).  Measured on the
+        disk-backed sweep: BASELINE.md "Disk-backed end-to-end"."""
+        data_sharding = self._data_sharding
+
+        def put(b):
+            if self.mesh is not None:
+                return jax.device_put(b["image"], data_sharding)
+            return jax.device_put(b["image"])
+
+        it = iter(loader)
+        try:
+            cur = next(it)
+        except StopIteration:
+            return
+        cur_dev = put(cur)
+        for nxt in it:
+            nxt_dev = put(nxt)
+            yield cur, cur_dev
+            cur, cur_dev = nxt, nxt_dev
+        yield cur, cur_dev
+
     def __call__(self, loader, return_device: bool = False):
         """One sweep: (labels, confidences, indices) — semantics identical
         to `generate_pseudo_labels` (see its docstring for the contract,
         the return_device fetch discipline, and the mesh behavior)."""
-        batch_pass, data_sharding = self._batch_pass, self._data_sharding
-        mesh = self.mesh
+        batch_pass = self._batch_pass
         labels, confs, indices = [], [], []
-        for batch in loader:
-            imgs = jnp.asarray(batch["image"])
-            if mesh is not None:
-                imgs = jax.device_put(imgs, data_sharding)
+        for batch, imgs in self._prefetched(loader):
             lab, conf = batch_pass(imgs)
             valid = batch["valid"]
             if return_device:
