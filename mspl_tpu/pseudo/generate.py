@@ -22,6 +22,7 @@ the jnp reference implementation and the public API (`use_pallas` switches).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -256,7 +257,11 @@ class PseudoLabelGenerator:
         instead of serializing with it — the device-side analog of the
         loader's producer thread.  Costs one extra input batch of HBM
         (uint8, ~47 MB at the production shape).  Measured on the
-        disk-backed sweep: BASELINE.md "Disk-backed end-to-end"."""
+        disk-backed sweep: BASELINE.md "Disk-backed end-to-end".
+
+        MSPL_PSEUDO_PREFETCH=0 disables the lookahead (read per call, not
+        at import) — kept for A/B measurement on the live tunnel, whose
+        transfer behavior varies with load."""
         data_sharding = self._data_sharding
 
         def put(b):
@@ -265,6 +270,10 @@ class PseudoLabelGenerator:
             return jax.device_put(b["image"])
 
         it = iter(loader)
+        if os.environ.get("MSPL_PSEUDO_PREFETCH", "1") == "0":
+            for cur in it:
+                yield cur, put(cur)
+            return
         try:
             cur = next(it)
         except StopIteration:
