@@ -24,9 +24,18 @@ rc=124/parsed:null because a hung attempt produced NO output):
     works even when the main thread is stuck inside a blocking C call
     (signal handlers would be deferred there).
   * heartbeat lines `[bench +12.3s] <phase>` on stderr at every phase.
-  * a PROVISIONAL result line (same schema + "provisional": true) is
-    written after the first 2 timed iterations; if the full measurement
-    then hangs, the parent promotes the provisional line to stdout.
+  * minimal time-to-first-live-result (VERDICT r4 item 1): a batch-8
+    LIVE-CHECK line lands before the full-batch program is even touched,
+    warmup is ONE iteration, and a PROVISIONAL result line (same schema +
+    "provisional": true) follows 2 timed iterations later; if the full
+    measurement then hangs, the parent promotes the latest of those lines
+    to stdout — a degraded-tunnel round still leaves live evidence.
+  * attempt budgets split the deadline EVENLY across remaining attempts
+    (the r4 420s/83s split made attempt 2 structurally useless).
+  * after a live headline, the parent re-measures the jnp_naive anchor
+    (time-boxed bench_anchor.py child) so anchor and headline are
+    same-run comparable (VERDICT r4 item 5); on anchor failure the dated
+    file stands and the JSON says so.
   * on success the result is mirrored to .bench_last.json; if every
     attempt fails, the parent emits that last-good result clearly marked
     "stale_from" rather than nothing at all.
@@ -85,14 +94,31 @@ try:
 except ValueError:
     MODEL_S = 2.0
 NUM_TARGET = 3
-WARMUP = _env_int("MSPL_BENCH_WARMUP", 3)
+# ONE warmup iteration: the provisional timing right behind it doubles as
+# warmup for the final timing, and every extra pre-provisional iteration is
+# time-to-first-live-result through a tunnel whose dispatches can take
+# minutes (VERDICT r4 weak item 1)
+WARMUP = _env_int("MSPL_BENCH_WARMUP", 1)
 ITERS = _env_int("MSPL_BENCH_ITERS", 12)  # ~1.5 s of steady state
 PROVISIONAL_ITERS = 2
+# batch size of the live-check probe run before the full-batch program
+# (0 = skip; the parent skips it on attempts >= 2 — by then the probe
+# evidence either exists or the tunnel is wedged beyond probing)
+PROBE_BATCH = _env_int("MSPL_BENCH_PROBE_BATCH", 8)
 
 _T0 = time.monotonic()
 REPO = os.path.dirname(os.path.abspath(__file__))
 LAST_GOOD = os.path.join(REPO, ".bench_last.json")
 ANCHOR_FILE = os.path.join(REPO, "ANCHOR.json")
+
+# Only the DEFAULT workload on the default (TPU) platform may write the
+# last-good mirror: a CPU test run with MSPL_BENCH_* shrink overrides once
+# poisoned .bench_last.json with a tiny-shape number (112.7 img/s), which
+# the stale-fallback path would then have reported as the last-good
+# headline (r5 incident, 2026-08-21).
+_DEFAULT_WORKLOAD = (
+    BATCH == 128 and HW == (256, 480) and MODEL_S == 2.0
+    and "axon" in os.environ.get("JAX_PLATFORMS", "axon"))
 
 
 def _hb(msg: str) -> None:
@@ -117,7 +143,7 @@ def _emit(payload: dict, provisional: bool = False) -> None:
     if provisional:
         payload = dict(payload, provisional=True)
     print(json.dumps(payload), flush=True)
-    if not provisional:
+    if not provisional and _DEFAULT_WORKLOAD:
         try:
             with open(LAST_GOOD, "w") as f:
                 json.dump(dict(payload, date=time.strftime("%Y-%m-%d")), f)
@@ -138,6 +164,20 @@ def _result(images_per_sec_per_chip: float) -> dict:
                            f"({anchor} img/s, bench_anchor.py)",
         "vs_r1_first_draft": round(images_per_sec_per_chip / R1_RECORDED, 3),
     }
+
+
+def _apply_platform(jax) -> None:
+    """Honor a JAX_PLATFORMS=cpu request in-process.  The environment's
+    axon sitecustomize registers the TPU plugin and pins the platform at
+    interpreter start, so the env var alone is ineffective (verified r5:
+    JAX_PLATFORMS=cpu still yields platform tpu); `jax.config.update`
+    after import is the only reliable switch (same mechanism as
+    tests/conftest.py).  Without this, the 'CPU-backend' bench tests were
+    silently dispatching through the remote-TPU tunnel — whose first
+    device contact costs 28-450s — and timing out on degraded days."""
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        jax.config.update("jax_platforms", plat)
 
 
 def _arm_watchdog() -> None:
@@ -171,6 +211,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _apply_platform(jax)
+
+    # device liveness: one tiny matmul round-trip before anything heavy, so
+    # the heartbeat log distinguishes "tunnel wedged" from "big executable
+    # slow to load" (r4's 390 s warmup hang was undiagnosable)
+    _hb("first device contact (tiny matmul; measured 28-450s through the "
+        "axon tunnel depending on load)")
+    t0 = time.perf_counter()
+    float(jnp.ones((128, 128)).sum())
+    _hb(f"device liveness ok ({time.perf_counter() - t0:.2f}s round-trip)")
 
     from mspl_tpu.data.label_space import label_conversion_matrix
     from mspl_tpu.data.transforms import normalize
@@ -244,6 +294,27 @@ def main():
     # number was cross-checked equal here, 1149.9 vs 1146.8).
     from mspl_tpu.utils.profiling import device_sync
 
+    # live-check probe: the SAME workload at a tiny batch, measured and
+    # emitted BEFORE the full-batch program is compiled/loaded.  If the
+    # full-batch attempt then stalls, the parent promotes this line — the
+    # round still records a value measured live in this run (marked
+    # "live_check_batch" so it is never mistaken for the headline shape).
+    if PROBE_BATCH > 0 and PROBE_BATCH < BATCH and n_chips == 1:
+        _hb(f"live-check probe (batch {PROBE_BATCH})")
+        probe_in = jax.device_put(np.asarray(imgs_u8)[:PROBE_BATCH])
+        probe_fn = jax.jit(_pass)
+        lab, conf, hist = probe_fn(probe_in)
+        device_sync((lab, hist))
+        t0 = time.perf_counter()
+        for _ in range(2):
+            lab, conf, hist = probe_fn(probe_in)
+        device_sync((lab, hist))
+        probe_rate = PROBE_BATCH * 2 / (time.perf_counter() - t0)
+        _emit(dict(_result(probe_rate), live_check_batch=PROBE_BATCH,
+                   note=f"degraded-mode live probe at batch {PROBE_BATCH}; "
+                        "NOT the headline shape"), provisional=True)
+        _hb(f"live-check: {probe_rate:.1f} img/s at batch {PROBE_BATCH}")
+
     _hb("warmup/compile (first-ever run: minutes; warm cache: ~30s)")
     for i in range(WARMUP):
         lab, conf, hist = pseudo_batch(imgs_u8)
@@ -271,6 +342,26 @@ def main():
     _emit(_result(images_per_sec_per_chip))
     _hb(f"final: {images_per_sec_per_chip:.1f} img/s/chip")
 
+    # same-day anchor discipline (VERDICT r4 item 5): with the headline in
+    # hand and the device session already established (first contact through
+    # the tunnel costs 28-450s in a FRESH process, ~0 here), re-measure the
+    # jnp_naive anchor in-process and re-emit the headline against it.  The
+    # parent promotes the LAST line; if this hangs, the watchdog fires and
+    # the already-emitted line above stands.
+    _, anchor_date = _read_anchor()
+    if (os.environ.get("MSPL_BENCH_ANCHOR", "1") != "0"
+            and anchor_date != time.strftime("%Y-%m-%d")):
+        _hb("re-measuring jnp_naive anchor in-process (stale date: "
+            f"{anchor_date})")
+        try:
+            from bench_anchor import measure_and_write_anchor
+
+            anchor = measure_and_write_anchor()
+            _hb(f"anchor refreshed: {anchor:.1f} img/s")
+            _emit(_result(images_per_sec_per_chip))
+        except Exception as e:  # never trade the headline for the anchor
+            _hb(f"anchor refresh failed: {e!r}; dated anchor stands")
+
 
 def main_io(n_images: int = 512, cache: bool = False):
     """Disk-backed end-to-end mode (VERDICT r2 item 3): real PNGs on disk ->
@@ -289,6 +380,7 @@ def main_io(n_images: int = 512, cache: bool = False):
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _apply_platform(jax)
 
     from mspl_tpu.data.datasets import GreenhouseRGBD
     from mspl_tpu.data.loader import DataLoader
@@ -406,26 +498,93 @@ def _last_json_line(path: str):
     return best
 
 
+def _refresh_anchor(budget: float) -> bool:
+    """Re-measure the jnp_naive anchor in a time-boxed child so anchor and
+    headline come from the same run/tunnel conditions (VERDICT r4 item 5).
+    Returns True iff ANCHOR.json was rewritten."""
+    import subprocess
+
+    if os.environ.get("MSPL_BENCH_ANCHOR", "1") == "0":
+        return False
+    if budget < 30:
+        _hb(f"skipping anchor refresh (only {budget:.0f}s left)")
+        return False
+    _hb(f"refreshing jnp_naive anchor (budget {budget:.0f}s)")
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "bench_anchor.py"),
+             "jnp_naive"], stdout=subprocess.DEVNULL, stderr=None)
+        try:
+            rc = proc.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            _hb("anchor refresh timed out — killing; dated file stands")
+            proc.kill()
+            proc.wait()
+            return False
+    except OSError:
+        return False
+    ok = rc == 0
+    _hb("anchor refreshed" if ok else f"anchor refresh failed (rc={rc})")
+    return ok
+
+
+def _with_current_anchor(got: dict, refreshed: bool) -> dict:
+    """Recompute the anchor-relative fields of a result line from the anchor
+    file as it stands NOW (possibly just refreshed)."""
+    anchor, anchor_date = _read_anchor()
+    got = dict(got, anchor_img_s=anchor, anchor_date=anchor_date,
+               baseline_anchor="reference-equivalent straight port on same "
+                               f"chip ({anchor} img/s, bench_anchor.py)")
+    if isinstance(got.get("value"), (int, float)):
+        got["vs_baseline"] = round(got["value"] / anchor, 3)
+    if not refreshed:
+        got["anchor_refresh"] = (
+            f"failed this run; anchor is from {anchor_date}")
+    return got
+
+
 def orchestrate(argv) -> int:
     """Parent process: bound each measurement attempt with a hard timeout,
     retry transient tunnel failures, and ALWAYS print one JSON line.  No
-    jax import here — a wedged child cannot wedge the parent."""
+    jax import here — a wedged child cannot wedge the parent.
+
+    Budget shape (VERDICT r4 item 1, revised by a round-5 measurement):
+    attempt 1 gets the FULL deadline minus a small reserve.  The dominant
+    pre-dispatch cost is FIRST DEVICE CONTACT through the axon tunnel — a
+    bare 128x128 matmul round-trip measured at 28s and 452s on the same
+    day (r5, 2026-08-21), independent of program size — and every fresh
+    child pays it again, so splitting the deadline across attempts (r4:
+    420s/83s; an even 3-way split would be 172s each) guarantees failure
+    whenever first contact is slow.  Retries exist only to recover from
+    FAST crashes, which leave most of the budget unspent.  After a live
+    headline, leftover budget re-measures the anchor (item 5)."""
     import subprocess
     import tempfile
 
-    deadline = float(os.environ.get("MSPL_BENCH_DEADLINE", "520"))
+    # the driver tolerated a 527 s total in r4; keep a small reserve under
+    # its presumed 600 s kill while giving first-contact every second we can
+    deadline = float(os.environ.get("MSPL_BENCH_DEADLINE", "545"))
     attempts = int(os.environ.get("MSPL_BENCH_ATTEMPTS", "3"))
-    per_attempt = float(os.environ.get("MSPL_BENCH_ATTEMPT_TIMEOUT", "420"))
+    per_attempt = float(os.environ.get("MSPL_BENCH_ATTEMPT_TIMEOUT",
+                                       str(deadline)))
     start = time.monotonic()
     best = None  # provisional result from a partially-successful attempt
 
+    def _remaining():
+        return deadline - (time.monotonic() - start)
+
     for attempt in range(attempts):
-        remaining = deadline - (time.monotonic() - start)
+        remaining = _remaining()
         if remaining < 30:
             _hb(f"deadline budget exhausted before attempt {attempt + 1}")
             break
         budget = min(remaining - 5, per_attempt)
         env = dict(os.environ, MSPL_BENCH_WATCHDOG=str(max(budget - 10, 20)))
+        if attempt > 0:
+            # probe evidence either exists from attempt 1 or the tunnel is
+            # wedged beyond probing — later attempts go straight for the
+            # headline shape
+            env.setdefault("MSPL_BENCH_PROBE_BATCH", "0")
         with tempfile.NamedTemporaryFile("w+", suffix=".bench.jsonl",
                                          delete=False) as tf:
             out_path = tf.name
@@ -444,17 +603,25 @@ def orchestrate(argv) -> int:
         got = _last_json_line(out_path)
         os.unlink(out_path)
         if got is not None and not got.get("provisional"):
-            print(json.dumps(got), flush=True)
+            anchor, anchor_date = _read_anchor()
+            refreshed = (anchor_date == time.strftime("%Y-%m-%d"))
+            if not refreshed:
+                refreshed = _refresh_anchor(min(_remaining() - 10, 120))
+            print(json.dumps(_with_current_anchor(got, refreshed)),
+                  flush=True)
             return 0
         if got is not None:
-            _hb("attempt died after the provisional measurement; keeping it")
+            _hb("attempt died after a live partial measurement; keeping it")
             best = got
         _hb(f"attempt {attempt + 1} failed (rc={rc})")
         if attempt + 1 < attempts:
             time.sleep(20)  # let a killed TPU client's device error settle
 
     if best is not None:
-        print(json.dumps(best), flush=True)
+        anchor, anchor_date = _read_anchor()
+        refreshed = (anchor_date == time.strftime("%Y-%m-%d")) or \
+            _refresh_anchor(min(_remaining() - 10, 120))
+        print(json.dumps(_with_current_anchor(best, refreshed)), flush=True)
         return 0
     last = _last_json_line(LAST_GOOD)
     if last is not None:

@@ -137,25 +137,31 @@ def bench_jnp_naive(batch=32, iters=6):
     return batch * iters / dt / max(jax.device_count(), 1)
 
 
+def measure_and_write_anchor() -> float:
+    """Measure jnp_naive and record anchor + date into ANCHOR.json for
+    bench.py to embed in its JSON line so every BENCH_rN.json is
+    self-contained (VERDICT r3 item 7).  The anchor is load-sensitive
+    through the axon tunnel — bench.py's child calls this in-process right
+    after a live headline (same device session, no second first-contact
+    cost; VERDICT r4 item 5 same-day discipline)."""
+    import os
+
+    value = round(bench_jnp_naive(), 3)
+    anchor = {"jnp_naive_img_per_sec_per_chip": value,
+              "date": time.strftime("%Y-%m-%d")}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ANCHOR.json")
+    with open(path, "w") as f:
+        json.dump(anchor, f)
+    print(f"[anchor] wrote {path}", file=sys.stderr)
+    return value
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     out = {}
     if which in ("jnp_naive", "both"):
-        out["jnp_naive_img_per_sec_per_chip"] = round(bench_jnp_naive(), 3)
-        # Record the anchor + date for bench.py to embed in its JSON line so
-        # every BENCH_rN.json is self-contained (VERDICT r3 item 7).  The
-        # anchor is load-sensitive through the axon tunnel — re-run this on
-        # the same day as the headline runs.
-        import os
-
-        anchor = {"jnp_naive_img_per_sec_per_chip":
-                  out["jnp_naive_img_per_sec_per_chip"],
-                  "date": time.strftime("%Y-%m-%d")}
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "ANCHOR.json")
-        with open(path, "w") as f:
-            json.dump(anchor, f)
-        print(f"[anchor] wrote {path}", file=sys.stderr)
+        out["jnp_naive_img_per_sec_per_chip"] = measure_and_write_anchor()
     if which in ("torch", "both"):
         out["torch_cpu_img_per_sec"] = round(bench_torch(), 4)
         out["torch_cpu_cores"] = __import__("os").cpu_count()
