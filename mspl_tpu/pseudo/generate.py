@@ -43,6 +43,14 @@ class SourceModel:
     pass wants, emitted for free by the model's final resize einsum);
     conversion: float32 [C_src, T+1] pooling matrix into the target space
     (last column = mass mapped to ignore).
+
+    apply_vars_fn/variables: the same forward with the weights SPLIT OUT
+    (`apply_vars_fn(variables, imgs)`), populated by `make_source`.  A
+    `PseudoLabelGenerator(params_as_args=True)` feeds `variables` as jit
+    ARGUMENTS instead of baking them into the traced program as constants,
+    so swapping in new weights of the same shapes (self-training rounds)
+    reuses the compiled program instead of paying a ~31 s retrace+re-load
+    per round through a remote-TPU tunnel (VERDICT r4 item 3).
     """
 
     name: str
@@ -55,6 +63,8 @@ class SourceModel:
     # sources and a 4-channel target model share one ensemble batch
     # (SURVEY.md §2 "Dataset: Greenhouse" RGB(-D))
     in_channels: int = 3
+    apply_vars_fn: Optional[Callable[[object, jnp.ndarray], jnp.ndarray]] = None
+    variables: Optional[object] = None
 
 
 def make_source(name: str, model, variables, src_dataset: str,
@@ -66,27 +76,30 @@ def make_source(name: str, model, variables, src_dataset: str,
     `channel_major_logits` emit them at zero cost; others get an explicit
     transpose appended."""
     import dataclasses as _dc
+    import functools
 
     if channel_major and hasattr(model, "channel_major_logits"):
         model = _dc.replace(model, channel_major_logits=True)
 
-        def apply_fn(imgs):
-            return model.apply(variables, imgs, train=False)
+        def apply_vars_fn(v, imgs):
+            return model.apply(v, imgs, train=False)
     elif channel_major:
-        def apply_fn(imgs):
-            out = model.apply(variables, imgs, train=False)
+        def apply_vars_fn(v, imgs):
+            out = model.apply(v, imgs, train=False)
             return jnp.transpose(out, (0, 3, 1, 2))
     else:
-        def apply_fn(imgs):
-            return model.apply(variables, imgs, train=False)
+        def apply_vars_fn(v, imgs):
+            return model.apply(v, imgs, train=False)
 
     return SourceModel(
         name=name,
-        apply_fn=apply_fn,
+        apply_fn=functools.partial(apply_vars_fn, variables),
         conversion=label_conversion_matrix(src_dataset, num_target),
         channel_major=channel_major,
         compute_dtype=getattr(model, "compute_dtype", None),
         in_channels=in_channels,
+        apply_vars_fn=apply_vars_fn,
+        variables=variables,
     )
 
 
@@ -230,7 +243,14 @@ class PseudoLabelGenerator:
     per-batch dispatches.
 
     Construction args match `generate_pseudo_labels`; `__call__` takes the
-    loader and the per-sweep `return_device` flag."""
+    loader and the per-sweep `return_device` flag.
+
+    params_as_args=True feeds each source's `variables` as jit ARGUMENTS
+    (not baked constants), so `set_variables(i, new_vars)` — same shapes,
+    new weights, e.g. the fine-tuned target model each self-training
+    round — reuses the compiled program instead of paying a full
+    retrace+re-load (~31 s/round through a remote-TPU tunnel; VERDICT r4
+    item 3).  `trace_count` exposes how many times the pass was traced."""
 
     def __init__(
         self,
@@ -243,12 +263,33 @@ class PseudoLabelGenerator:
         mesh=None,
         conf_mode: str = "prob",
         min_agree: Optional[int] = None,
+        params_as_args: bool = False,
     ):
         self.sources = sources
         self.mesh = mesh
-        self._batch_pass, self._data_sharding = _build_batch_pass(
-            sources, mode, kc, normalize_fn, ignore_label, use_pallas,
-            mesh, conf_mode, min_agree)
+        self._params_as_args = params_as_args
+        self._vars = (tuple(s.variables for s in sources)
+                      if params_as_args else ())
+        self._batch_pass, self._data_sharding, self._trace_counter = \
+            _build_batch_pass(
+                sources, mode, kc, normalize_fn, ignore_label, use_pallas,
+                mesh, conf_mode, min_agree, params_as_args=params_as_args)
+
+    @property
+    def trace_count(self) -> int:
+        """Number of times the per-batch pass has been (re)traced."""
+        return self._trace_counter[0]
+
+    def set_variables(self, i: int, variables) -> None:
+        """Swap source i's weights for the next sweeps.  Shapes/dtypes must
+        match the originals or the next call retraces (defeating reuse)."""
+        if not self._params_as_args:
+            raise ValueError(
+                "set_variables requires params_as_args=True (weights are "
+                "baked into the compiled program otherwise)")
+        v = list(self._vars)
+        v[i] = variables
+        self._vars = tuple(v)
 
     def _prefetched(self, loader):
         """Iterate (host_batch, device_images) with ONE batch of h2d
@@ -290,9 +331,10 @@ class PseudoLabelGenerator:
         to `generate_pseudo_labels` (see its docstring for the contract,
         the return_device fetch discipline, and the mesh behavior)."""
         batch_pass = self._batch_pass
+        var_list = self._vars
         labels, confs, indices = [], [], []
         for batch, imgs in self._prefetched(loader):
-            lab, conf = batch_pass(imgs)
+            lab, conf = batch_pass(imgs, var_list)
             valid = batch["valid"]
             if return_device:
                 # loader pads only the tail batch, always as a suffix, so
@@ -391,12 +433,21 @@ def generate_pseudo_labels(
 
 
 def _build_batch_pass(sources, mode, kc, normalize_fn, ignore_label,
-                      use_pallas, mesh, conf_mode, min_agree):
+                      use_pallas, mesh, conf_mode, min_agree,
+                      params_as_args=False):
     """Construct the jitted per-batch pass (normalize → N source forwards →
     fused conversion/fusion/threshold), optionally shard_map'd over the mesh
-    `data` axis.  Returns (batch_pass, data_sharding-or-None).  Split out of
-    `generate_pseudo_labels` so `PseudoLabelGenerator` can hold the compiled
-    program across sweeps."""
+    `data` axis.  Returns (batch_pass, data_sharding-or-None, trace_counter)
+    where trace_counter is a 1-element list incremented on every (re)trace.
+    Split out of `generate_pseudo_labels` so `PseudoLabelGenerator` can hold
+    the compiled program across sweeps.
+
+    params_as_args=True makes the pass take `(imgs_u8, var_list)` — one
+    variables pytree per source, fed as jit ARGUMENTS — so new weights of
+    the same shapes reuse the compiled program (VERDICT r4 item 3; the
+    self-training round loop swaps target weights every round).  False
+    bakes the weights into the program as constants (the one-shot
+    `cmd_pseudo` path, where XLA constant-folding can specialize)."""
     from mspl_tpu.data.transforms import normalize as default_normalize
 
     norm = normalize_fn or default_normalize
@@ -447,19 +498,35 @@ def _build_batch_pass(sources, mode, kc, normalize_fn, ignore_label,
 
     t = int(conversions[0].shape[1]) - 1
     n_models = len(sources)
+    trace_counter = [0]
+
+    if params_as_args:
+        missing = [s.name for s in sources
+                   if s.apply_vars_fn is None or s.variables is None]
+        if missing:
+            raise ValueError(
+                "params_as_args requires apply_vars_fn+variables on every "
+                f"source (make_source populates them); missing on {missing}")
+
+    def _forward(s, var, imgs):
+        x = _source_input(imgs, s)
+        return s.apply_vars_fn(var, x) if params_as_args else s.apply_fn(x)
 
     if model_par:
         m_size = mesh.shape["model"]
-        groups = [list(sources[i::m_size]) for i in range(m_size)]
+        groups = [list(range(len(sources)))[i::m_size] for i in range(m_size)]
 
-        def _group_branch(srcs):
+        def _group_branch(idxs):
             # partial fusion statistic for one model-axis slice: sum of
             # converted probability maps (soft) / one-hot votes (hard)
-            def branch(x):
+            def branch(operand):
+                x, var_list = operand
                 width = (t + 1) if mode == "soft" else t
                 acc = jnp.zeros(x.shape[:3] + (width,), jnp.float32)
-                for s in srcs:
-                    lg = s.apply_fn(_source_input(x, s))
+                for i in idxs:
+                    s = sources[i]
+                    lg = _forward(s, var_list[i] if params_as_args else None,
+                                  x)
                     if s.channel_major:
                         lg = jnp.transpose(lg, (0, 2, 3, 1))
                     p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
@@ -472,13 +539,14 @@ def _build_batch_pass(sources, mode, kc, normalize_fn, ignore_label,
                 return acc
             return branch
 
-        def _pass(imgs8):
+        def _pass(imgs8, var_list):
+            trace_counter[0] += 1
             imgs = norm(imgs8)
             if common_dtype is not None:
                 imgs = imgs.astype(common_dtype)
             midx = jax.lax.axis_index("model")
             part = jax.lax.switch(
-                midx, [_group_branch(g) for g in groups], imgs)
+                midx, [_group_branch(g) for g in groups], (imgs, var_list))
             total = jax.lax.psum(part, "model")
             if mode == "soft":
                 label, conf = _soft_epilogue(total / n_models, t, conf_mode,
@@ -488,12 +556,14 @@ def _build_batch_pass(sources, mode, kc, normalize_fn, ignore_label,
                                              conf_mode, ignore_label)
             return _apply_kc(label, conf, kc_dev, t, ignore_label)
     else:
-        def _pass(imgs8):
+        def _pass(imgs8, var_list):
+            trace_counter[0] += 1
             imgs = norm(imgs8)
             if common_dtype is not None:
                 imgs = imgs.astype(common_dtype)
-            logits_list = [s.apply_fn(_source_input(imgs, s))
-                           for s in sources]
+            logits_list = [
+                _forward(s, var_list[i] if params_as_args else None, imgs)
+                for i, s in enumerate(sources)]
             return pass_fn(logits_list)
 
     # Fetch labels as uint8: device->host transfers of s32 arrays run at
@@ -506,14 +576,15 @@ def _build_batch_pass(sources, mode, kc, normalize_fn, ignore_label,
     _pass_inner = _pass
 
     if fetch_u8:
-        def _pass(imgs8):
-            lab, conf = _pass_inner(imgs8)
+        def _pass(imgs8, var_list):
+            lab, conf = _pass_inner(imgs8, var_list)
             return lab.astype(jnp.uint8), conf
 
     if mesh is not None:
         # shard_map over the 'data' axis: each device runs the whole pass on
         # its local batch shard — essential for the Pallas kernels, which
-        # GSPMD would otherwise all-gather around as opaque custom calls
+        # GSPMD would otherwise all-gather around as opaque custom calls.
+        # Variables are replicated (PartitionSpec()).
         from jax.sharding import NamedSharding, PartitionSpec
 
         from mspl_tpu.parallel.mesh import shard_map_compat
@@ -521,11 +592,11 @@ def _build_batch_pass(sources, mode, kc, normalize_fn, ignore_label,
         data_sharding = NamedSharding(mesh, PartitionSpec("data"))
         batch_pass = jax.jit(shard_map_compat(
             _pass, mesh,
-            in_specs=PartitionSpec("data"),
+            in_specs=(PartitionSpec("data"), PartitionSpec()),
             out_specs=(PartitionSpec("data"), PartitionSpec("data")),
         ))
     else:
         data_sharding = None
         batch_pass = jax.jit(_pass)
 
-    return batch_pass, data_sharding
+    return batch_pass, data_sharding, trace_counter

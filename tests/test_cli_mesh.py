@@ -228,13 +228,19 @@ def test_selftrain_forwards_mesh_and_min_agree(monkeypatch):
     mesh = make_mesh()
     seen = {}
 
-    def fake_generate(sources, loader, mode="soft", kc=None, **kw):
-        seen.update(kw)
-        n = len(loader.dataset)
-        h, w = loader.dataset.shape_hw
-        return (np.zeros((n, h, w), np.int32),
-                np.ones((n, h, w), np.float32),
-                np.arange(n, dtype=np.int32))
+    class FakeGen:  # stands in for PseudoLabelGenerator (the r5 round loop
+        # holds one generator per ensemble shape instead of calling
+        # generate_pseudo_labels per round)
+        def __init__(self, sources, mode="soft", kc=None, **kw):
+            seen.update(kw)
+            self.sources = sources
+
+        def __call__(self, loader, return_device=False):
+            n = len(loader.dataset)
+            h, w = loader.dataset.shape_hw
+            return (np.zeros((n, h, w), np.int32),
+                    np.ones((n, h, w), np.float32),
+                    np.arange(n, dtype=np.int32))
 
     def fake_train(model, variables, *a, **k):
         class S:  # minimal TrainState stand-in
@@ -242,7 +248,7 @@ def test_selftrain_forwards_mesh_and_min_agree(monkeypatch):
             batch_stats = variables.get("batch_stats", {})
         return {"state": S(), "best_miou": 0.5, "history": []}
 
-    monkeypatch.setattr(st, "generate_pseudo_labels", fake_generate)
+    monkeypatch.setattr(st, "PseudoLabelGenerator", FakeGen)
     monkeypatch.setattr(st, "train_segmentation", fake_train)
 
     ds = SyntheticSegmentation(num_classes=3, size_wh=(16, 16), length=4,
