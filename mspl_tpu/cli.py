@@ -73,7 +73,7 @@ def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
 
         with open(_meta_stem(path) + ".json") as f:
             meta = json.load(f)
-        model, variables = import_torch_checkpoint(path, meta)
+        model, variables, _ = import_torch_checkpoint(path, meta)
         return model, variables, meta
     with open(os.path.splitext(path)[0] + ".json") as f:
         meta = json.load(f)
@@ -558,10 +558,7 @@ def cmd_import_torch(args) -> Dict:
     """Convert a reference-style torch .pth checkpoint into a native
     checkpoint dir (SURVEY.md §2 "Pretrained weights" — the artifacts
     cannot be fetched here, but a migrating user's .pth files load)."""
-    import torch
-
-    from mspl_tpu.utils.torch_import import (import_torch_checkpoint,
-                                             unwrap_state_dict)
+    from mspl_tpu.utils.torch_import import import_torch_checkpoint
 
     meta = {
         "model": args.model,
@@ -573,9 +570,9 @@ def cmd_import_torch(args) -> Dict:
         "in_channels": 3,
         "imported_from": os.path.abspath(args.pth),
     }
-    model, variables = import_torch_checkpoint(args.pth, meta)
-    n_keys = len(unwrap_state_dict(
-        torch.load(args.pth, map_location="cpu", weights_only=True)))
+    # single deserialization: the tensor count for the log line comes back
+    # from import_torch_checkpoint (ADVICE r4: the .pth was loaded twice)
+    model, variables, n_keys = import_torch_checkpoint(args.pth, meta)
     _save_model(args.out_dir, variables, meta)
     print_info_message(
         f"imported {n_keys} torch tensors -> {args.out_dir} "

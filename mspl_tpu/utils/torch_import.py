@@ -98,7 +98,22 @@ def torch_leaf_map(model_name: str, target, num_classes: int, s: float = 2.0,
     Raises if any flax leaf is unreachable from the torch side."""
     import jax
 
+    import torch
+
     twin, load_from_flax = _build_twin(model_name, num_classes, s, **twin_kw)
+    # Fill every float tensor with a unique random sentinel BEFORE the
+    # transplant: "untouched" is then detected structurally (still equals
+    # its sentinel) instead of by comparison with construction defaults —
+    # a transplant that writes a fallback value coinciding with the
+    # default (e.g. zeros into a zero-init buffer) can no longer be
+    # misclassified as dead (ADVICE r4).
+    rng = np.random.default_rng(0x5EED)
+    with torch.no_grad():
+        for name, tensor in twin.state_dict().items():
+            if tensor.is_floating_point():
+                tensor.copy_(torch.from_numpy(
+                    rng.standard_normal(tuple(tensor.shape))
+                    .astype(np.float32)))
     before = {name: tensor.detach().numpy().copy()
               for name, tensor in twin.state_dict().items()}
     probe = _probe_variables(target)
@@ -223,10 +238,21 @@ def export_torch_state_dict(model_name: str, variables, num_classes: int,
     return twin.state_dict()
 
 
+# architecture-shaping meta keys forwarded into the model ctor + torch twin
+# (ADVICE r4: a meta carrying these was silently ignored, so only
+# default-config models could be imported via the CLI/sidecar path)
+_ARCH_META_KEYS = {
+    "espnetv2": ("dec_base_planes",),
+    "deeplabv3": ("stage_blocks", "aspp_features"),
+}
+
+
 def import_torch_checkpoint(path: str, meta: Dict[str, Any]):
     """Load a .pth/.pt checkpoint per `meta` ({'model', 'num_classes',
-    's', ...} — the same JSON sidecar schema native checkpoints carry).
-    Returns (model, variables) with variables in init_model's structure."""
+    's', ...} — the same JSON sidecar schema native checkpoints carry;
+    architecture overrides like deeplabv3 stage_blocks/aspp_features are
+    honored).  Returns (model, variables, n_torch_tensors) with variables
+    in init_model's structure."""
     import jax.numpy as jnp
     import torch
 
@@ -235,14 +261,19 @@ def import_torch_checkpoint(path: str, meta: Dict[str, Any]):
     if int(meta.get("in_channels", 3)) != 3:
         raise ValueError("torch import supports RGB (3-channel) weights "
                          "only — the reference's source models are RGB")
+    arch_kw = {k: (tuple(meta[k]) if isinstance(meta[k], list) else meta[k])
+               for k in _ARCH_META_KEYS.get(meta["model"], ())
+               if k in meta}
     model = build_segmentation_model(
         meta["model"], num_classes=int(meta["num_classes"]),
         s=float(meta.get("s", 2.0)),
-        compute_dtype=jnp.bfloat16 if meta.get("bf16") else jnp.float32)
+        compute_dtype=jnp.bfloat16 if meta.get("bf16") else jnp.float32,
+        **arch_kw)
     hw = tuple(meta.get("input_hw") or (256, 480))
     target = init_model(model, hw)
     obj = torch.load(path, map_location="cpu", weights_only=True)
     variables = variables_from_state_dict(
         meta["model"], obj, target, num_classes=int(meta["num_classes"]),
-        s=float(meta.get("s", 2.0)))
-    return model, variables
+        s=float(meta.get("s", 2.0)), **arch_kw)
+    n_tensors = len(unwrap_state_dict(obj))
+    return model, variables, n_tensors

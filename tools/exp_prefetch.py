@@ -83,12 +83,16 @@ def main(n_images: int = 512, rounds: int = 3) -> None:
         hb(f"warmup sweep {warm:.1f} img/s")
         series = {"1": [], "0": []}
         order = ["1", "0"] * rounds
-        for mode in order:
-            os.environ["MSPL_PSEUDO_PREFETCH"] = mode
-            r = sweep()
-            series[mode].append(r)
-            hb(f"prefetch={mode}: {r:.1f} img/s")
-        os.environ.pop("MSPL_PSEUDO_PREFETCH", None)
+        try:
+            for mode in order:
+                os.environ["MSPL_PSEUDO_PREFETCH"] = mode
+                r = sweep()
+                series[mode].append(r)
+                hb(f"prefetch={mode}: {r:.1f} img/s")
+        finally:
+            # an exception mid-sweep must not leak the A/B mode into a
+            # longer-lived importing process (ADVICE r4)
+            os.environ.pop("MSPL_PSEUDO_PREFETCH", None)
         print(json.dumps({
             "metric": "disk_sweep_prefetch_ab",
             "prefetch_on_median": round(statistics.median(series["1"]), 2),
