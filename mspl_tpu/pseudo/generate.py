@@ -329,19 +329,42 @@ class PseudoLabelGenerator:
     def __call__(self, loader, return_device: bool = False):
         """One sweep: (labels, confidences, indices) — semantics identical
         to `generate_pseudo_labels` (see its docstring for the contract,
-        the return_device fetch discipline, and the mesh behavior)."""
+        the return_device fetch discipline, and the mesh behavior).
+
+        MSPL_PSEUDO_PIPELINE=1 runs host-path sweeps TWO-DEEP on the
+        dispatch side (VERDICT r4 item 7): batch k+1's compute is
+        dispatched before batch k's results are fetched, so the device
+        never idles on a host fetch.  Identical arrays come back in
+        identical order — the reordering is invisible except in wall
+        time.  Default OFF: through this environment's remote-TPU tunnel
+        the two-deep order measured ~20% SLOWER in both A/B orderings
+        (tools/exp_pipeline.py; BASELINE.md r5 — a pending d2h fetch and
+        an in-flight dispatch appear to serialize badly in the relay);
+        on a locally-attached TPU the overlap is the standard pattern —
+        set =1 there."""
         batch_pass = self._batch_pass
         var_list = self._vars
         labels, confs, indices = [], [], []
+
+        def _consume(batch, lab, conf):
+            valid = batch["valid"]
+            lab = np.asarray(lab).astype(np.int32)
+            conf = np.asarray(conf)
+            labels.append(lab[valid])
+            confs.append(conf[valid])
+            indices.append(batch["index"][valid])
+
+        pipeline = os.environ.get("MSPL_PSEUDO_PIPELINE", "0") == "1"
+        pending = None
         for batch, imgs in self._prefetched(loader):
             lab, conf = batch_pass(imgs, var_list)
-            valid = batch["valid"]
             if return_device:
                 # loader pads only the tail batch, always as a suffix, so
                 # the valid rows are the prefix — a static device-side
                 # slice.  Guard the layout assumption (ADVICE r3): a loader
                 # change that interleaves invalid rows would silently
                 # mislabel images here.
+                valid = batch["valid"]
                 nv = int(valid.sum())
                 assert valid[:nv].all(), (
                     "PseudoLabelGenerator(return_device=True) requires "
@@ -350,11 +373,14 @@ class PseudoLabelGenerator:
                 confs.append(conf if nv == conf.shape[0] else conf[:nv])
                 indices.append(batch["index"][:nv])
                 continue
-            lab = np.asarray(lab).astype(np.int32)
-            conf = np.asarray(conf)
-            labels.append(lab[valid])
-            confs.append(conf[valid])
-            indices.append(batch["index"][valid])
+            if not pipeline:
+                _consume(batch, lab, conf)
+                continue
+            if pending is not None:
+                _consume(*pending)
+            pending = (batch, lab, conf)
+        if pending is not None:
+            _consume(*pending)
         if return_device:
             return (
                 jnp.concatenate(labels, axis=0),
