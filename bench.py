@@ -246,13 +246,23 @@ def main():
 
     kc = jnp.asarray(np.full(NUM_TARGET, 0.5, np.float32))
     mats = [c for _, _, c in sources]
+    # HYBRID weight passing (r5 A/B, all same-day): constants-baked
+    # executables embed all 3 models' parameters — steady state 1440.9
+    # img/s but 56-78 s device load through the tunnel EVEN CACHE-WARM;
+    # argument-passed weights load in 12-14 s but XLA loses weight
+    # pre-layout/folding and steady state drops ~6.5% (1342/1350).  So the
+    # batch-8 live-check uses ARGUMENTS (its job is fast live evidence)
+    # and the headline program bakes CONSTANTS (its job is peak
+    # throughput, and the budget now survives its load).
+    var_list = tuple(v for _, v, _ in sources)
 
-    def _pass(imgs_u8):
+    def _pass(imgs_u8, var_list):
         # full workload: normalize (device-side, as the real loader path
         # does) -> single bf16 cast -> 3 forwards -> fused pass -> CBST
         # histogram accumulation for the next round's kc
         imgs = normalize(imgs_u8).astype(jnp.bfloat16)
-        logits = [m.apply(v, imgs, train=False) for m, v, _ in sources]
+        logits = [m.apply(v, imgs, train=False)
+                  for (m, _, _), v in zip(sources, var_list)]
         lab, conf = fused_pseudo_soft_cm(logits, mats, kc=kc)
         hist = class_confidence_histograms(lab, conf, NUM_TARGET)
         return lab, conf, hist
@@ -277,7 +287,7 @@ def main():
             "number would be wrong")
 
         def _sharded(imgs_u8):
-            lab, conf, hist = _pass(imgs_u8)
+            lab, conf, hist = _pass(imgs_u8, var_list)
             return lab, conf, jax.lax.psum(hist, "data")
 
         pseudo_batch = jax.jit(shard_map_compat(
@@ -285,7 +295,7 @@ def main():
             out_specs=(P("data"), P("data"), P())))
         imgs_u8 = jax.device_put(imgs_u8, NamedSharding(mesh, P("data")))
     else:
-        pseudo_batch = jax.jit(_pass)
+        pseudo_batch = jax.jit(lambda b: _pass(b, var_list))
         imgs_u8 = jax.device_put(imgs_u8)
 
     # warmup / compile.  Syncs use a 1-element host fetch, not
@@ -303,11 +313,11 @@ def main():
         _hb(f"live-check probe (batch {PROBE_BATCH})")
         probe_in = jax.device_put(np.asarray(imgs_u8)[:PROBE_BATCH])
         probe_fn = jax.jit(_pass)
-        lab, conf, hist = probe_fn(probe_in)
+        lab, conf, hist = probe_fn(probe_in, var_list)
         device_sync((lab, hist))
         t0 = time.perf_counter()
         for _ in range(2):
-            lab, conf, hist = probe_fn(probe_in)
+            lab, conf, hist = probe_fn(probe_in, var_list)
         device_sync((lab, hist))
         probe_rate = PROBE_BATCH * 2 / (time.perf_counter() - t0)
         _emit(dict(_result(probe_rate), live_check_batch=PROBE_BATCH,
@@ -561,9 +571,11 @@ def orchestrate(argv) -> int:
     import subprocess
     import tempfile
 
-    # the driver tolerated a 527 s total in r4; keep a small reserve under
-    # its presumed 600 s kill while giving first-contact every second we can
-    deadline = float(os.environ.get("MSPL_BENCH_DEADLINE", "545"))
+    # the driver tolerated a 527 s total in r4 and killed at 600 in r3
+    # (rc=124); keep ~25 s of reserve under that while giving
+    # first-contact every second we can (r5 measured a 395 s contact +
+    # 74 s cold probe compile just miss a 540 s budget)
+    deadline = float(os.environ.get("MSPL_BENCH_DEADLINE", "565"))
     attempts = int(os.environ.get("MSPL_BENCH_ATTEMPTS", "3"))
     per_attempt = float(os.environ.get("MSPL_BENCH_ATTEMPT_TIMEOUT",
                                        str(deadline)))
@@ -620,7 +632,7 @@ def orchestrate(argv) -> int:
     if best is not None:
         anchor, anchor_date = _read_anchor()
         refreshed = (anchor_date == time.strftime("%Y-%m-%d")) or \
-            _refresh_anchor(min(_remaining() - 10, 120))
+            _refresh_anchor(max(min(_remaining() - 10, 120), 0))
         print(json.dumps(_with_current_anchor(best, refreshed)), flush=True)
         return 0
     last = _last_json_line(LAST_GOOD)
