@@ -166,6 +166,16 @@ def _result(images_per_sec_per_chip: float) -> dict:
     }
 
 
+def _die_if_hook(stage: str) -> None:
+    """Test hook: MSPL_BENCH_DIE_AFTER=<stage> hard-kills the child right
+    after that stage's line is emitted, simulating a tunnel hang at the
+    next phase so tests can gate the parent's promotion of partial live
+    results (live_check / provisional)."""
+    if os.environ.get("MSPL_BENCH_DIE_AFTER") == stage:
+        _hb(f"test hook: dying after {stage}")
+        os._exit(71)
+
+
 def _apply_platform(jax) -> None:
     """Honor a JAX_PLATFORMS=cpu request in-process.  The environment's
     axon sitecustomize registers the TPU plugin and pins the platform at
@@ -324,6 +334,7 @@ def main():
                    note=f"degraded-mode live probe at batch {PROBE_BATCH}; "
                         "NOT the headline shape"), provisional=True)
         _hb(f"live-check: {probe_rate:.1f} img/s at batch {PROBE_BATCH}")
+        _die_if_hook("live_check")
 
     _hb("warmup/compile (first-ever run: minutes; warm cache: ~30s)")
     for i in range(WARMUP):
@@ -340,6 +351,7 @@ def main():
     prov = BATCH * PROVISIONAL_ITERS / dt / n_chips
     _emit(_result(prov), provisional=True)
     _hb(f"provisional: {prov:.1f} img/s/chip")
+    _die_if_hook("provisional")
 
     _hb(f"full timing ({ITERS} iters)")
     t0 = time.perf_counter()

@@ -152,3 +152,37 @@ def test_bench_watchdog_aborts_hang():
         if stash is not None:
             with open(last_good, "w") as f:
                 f.write(stash)
+
+
+@pytest.mark.slow
+def test_bench_promotes_provisional_on_late_hang():
+    """A child that emits the provisional line and then wedges must have
+    that LIVE partial measurement promoted by the parent — not the stale
+    last-good (the r4 failure shape: a value measured in THIS run beats a
+    marked-stale echo)."""
+    env = dict(TINY, MSPL_BENCH_DIE_AFTER="provisional",
+               MSPL_BENCH_ATTEMPTS="2", MSPL_BENCH_DEADLINE="240")
+    proc, _ = _run(env, timeout=280)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _last_json(proc.stdout)
+    assert got.get("provisional") is True
+    assert got["value"] and got["value"] > 0
+    assert "stale_from" not in got
+    assert "dying after provisional" in proc.stderr
+
+
+@pytest.mark.slow
+def test_bench_promotes_live_check_on_early_hang():
+    """A child that only gets as far as the batch-N live-check before
+    wedging must have that line promoted, clearly marked as the probe
+    shape (live_check_batch)."""
+    env = dict(TINY, MSPL_BENCH_BATCH="8", MSPL_BENCH_PROBE_BATCH="2",
+               MSPL_BENCH_DIE_AFTER="live_check",
+               MSPL_BENCH_ATTEMPTS="1", MSPL_BENCH_DEADLINE="240")
+    proc, _ = _run(env, timeout=280)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _last_json(proc.stdout)
+    assert got.get("provisional") is True
+    assert got.get("live_check_batch") == 2
+    assert got["value"] and got["value"] > 0
+    assert "stale_from" not in got
