@@ -30,8 +30,10 @@ rc=124/parsed:null because a hung attempt produced NO output):
     "provisional": true) follows 2 timed iterations later; if the full
     measurement then hangs, the parent promotes the latest of those lines
     to stdout — a degraded-tunnel round still leaves live evidence.
-  * attempt budgets split the deadline EVENLY across remaining attempts
-    (the r4 420s/83s split made attempt 2 structurally useless).
+  * attempt 1 gets the FULL deadline minus a small reserve; retries only
+    recover FAST crashes (first device contact costs 4-450s and every
+    fresh child pays it again, so any split across attempts — r4's
+    420s/83s — guarantees failure on slow days).
   * after a live headline, the parent re-measures the jnp_naive anchor
     (time-boxed bench_anchor.py child) so anchor and headline are
     same-run comparable (VERDICT r4 item 5); on anchor failure the dated
@@ -321,7 +323,10 @@ def main():
     # "live_check_batch" so it is never mistaken for the headline shape).
     if PROBE_BATCH > 0 and PROBE_BATCH < BATCH and n_chips == 1:
         _hb(f"live-check probe (batch {PROBE_BATCH})")
-        probe_in = jax.device_put(np.asarray(imgs_u8)[:PROBE_BATCH])
+        # device-side slice: a host round-trip of the full 47 MB batch
+        # here would cost seconds-to-minutes on exactly the degraded days
+        # the probe exists for
+        probe_in = imgs_u8[:PROBE_BATCH]
         probe_fn = jax.jit(_pass)
         lab, conf, hist = probe_fn(probe_in, var_list)
         device_sync((lab, hist))
@@ -520,17 +525,21 @@ def _last_json_line(path: str):
     return best
 
 
-def _refresh_anchor(budget: float) -> bool:
+def _refresh_anchor(budget: float) -> str:
     """Re-measure the jnp_naive anchor in a time-boxed child so anchor and
     headline come from the same run/tunnel conditions (VERDICT r4 item 5).
-    Returns True iff ANCHOR.json was rewritten."""
+    Returns a status: 'fresh' (already measured today), 'refreshed',
+    'disabled' (MSPL_BENCH_ANCHOR=0), 'skipped (budget)', or 'failed'."""
     import subprocess
 
+    _, anchor_date = _read_anchor()
+    if anchor_date == time.strftime("%Y-%m-%d"):
+        return "fresh"
     if os.environ.get("MSPL_BENCH_ANCHOR", "1") == "0":
-        return False
+        return "disabled"
     if budget < 30:
         _hb(f"skipping anchor refresh (only {budget:.0f}s left)")
-        return False
+        return "skipped (budget)"
     _hb(f"refreshing jnp_naive anchor (budget {budget:.0f}s)")
     try:
         proc = subprocess.Popen(
@@ -542,26 +551,29 @@ def _refresh_anchor(budget: float) -> bool:
             _hb("anchor refresh timed out — killing; dated file stands")
             proc.kill()
             proc.wait()
-            return False
+            return "failed"
     except OSError:
-        return False
+        return "failed"
     ok = rc == 0
     _hb("anchor refreshed" if ok else f"anchor refresh failed (rc={rc})")
-    return ok
+    return "refreshed" if ok else "failed"
 
 
-def _with_current_anchor(got: dict, refreshed: bool) -> dict:
+def _with_current_anchor(got: dict, status: str) -> dict:
     """Recompute the anchor-relative fields of a result line from the anchor
-    file as it stands NOW (possibly just refreshed)."""
+    file as it stands NOW (possibly just refreshed).  `status` comes from
+    `_refresh_anchor`; anything other than a same-day anchor is reported
+    verbatim so the artifact distinguishes an intentional skip from a
+    tunnel failure."""
     anchor, anchor_date = _read_anchor()
     got = dict(got, anchor_img_s=anchor, anchor_date=anchor_date,
                baseline_anchor="reference-equivalent straight port on same "
                                f"chip ({anchor} img/s, bench_anchor.py)")
     if isinstance(got.get("value"), (int, float)):
         got["vs_baseline"] = round(got["value"] / anchor, 3)
-    if not refreshed:
+    if status not in ("fresh", "refreshed"):
         got["anchor_refresh"] = (
-            f"failed this run; anchor is from {anchor_date}")
+            f"{status} this run; anchor is from {anchor_date}")
     return got
 
 
@@ -607,8 +619,9 @@ def orchestrate(argv) -> int:
         if attempt > 0:
             # probe evidence either exists from attempt 1 or the tunnel is
             # wedged beyond probing — later attempts go straight for the
-            # headline shape
-            env.setdefault("MSPL_BENCH_PROBE_BATCH", "0")
+            # headline shape (unconditional: an externally-pinned
+            # PROBE_BATCH must not re-spend retry budget on the probe)
+            env["MSPL_BENCH_PROBE_BATCH"] = "0"
         with tempfile.NamedTemporaryFile("w+", suffix=".bench.jsonl",
                                          delete=False) as tf:
             out_path = tf.name
@@ -627,11 +640,8 @@ def orchestrate(argv) -> int:
         got = _last_json_line(out_path)
         os.unlink(out_path)
         if got is not None and not got.get("provisional"):
-            anchor, anchor_date = _read_anchor()
-            refreshed = (anchor_date == time.strftime("%Y-%m-%d"))
-            if not refreshed:
-                refreshed = _refresh_anchor(min(_remaining() - 10, 120))
-            print(json.dumps(_with_current_anchor(got, refreshed)),
+            status = _refresh_anchor(max(min(_remaining() - 10, 120), 0))
+            print(json.dumps(_with_current_anchor(got, status)),
                   flush=True)
             return 0
         if got is not None:
@@ -642,10 +652,8 @@ def orchestrate(argv) -> int:
             time.sleep(20)  # let a killed TPU client's device error settle
 
     if best is not None:
-        anchor, anchor_date = _read_anchor()
-        refreshed = (anchor_date == time.strftime("%Y-%m-%d")) or \
-            _refresh_anchor(max(min(_remaining() - 10, 120), 0))
-        print(json.dumps(_with_current_anchor(best, refreshed)), flush=True)
+        status = _refresh_anchor(max(min(_remaining() - 10, 120), 0))
+        print(json.dumps(_with_current_anchor(best, status)), flush=True)
         return 0
     last = _last_json_line(LAST_GOOD)
     if last is not None:

@@ -80,6 +80,7 @@ def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
     model = build_segmentation_model(
         meta["model"], num_classes=meta["num_classes"], s=meta.get("s", 2.0),
         compute_dtype=jnp.bfloat16 if meta.get("bf16", False) else jnp.float32,
+        **_arch_meta_kw(meta),
     )
     info = dataset_info(meta["dataset"]) if meta.get("dataset") in SEGMENTATION_DATASETS else None
     hw = meta.get("input_hw") or (
@@ -88,6 +89,19 @@ def load_model_checkpoint(path_or_dir: str) -> Tuple[Any, Dict, Dict]:
                         channels=int(meta.get("in_channels", 3)))
     variables, _ = load_checkpoint(path, target)
     return model, variables, meta
+
+
+def _arch_meta_kw(meta) -> Dict:
+    """Architecture-shaping kwargs carried in a checkpoint meta (deeplabv3
+    stage_blocks/aspp_features, espnetv2 dec_base_planes) — honored on
+    EVERY rebuild-from-meta path, not just the torch import (r5 review:
+    a native checkpoint of a non-default architecture otherwise restores
+    into the wrong model)."""
+    from mspl_tpu.utils.torch_import import _ARCH_META_KEYS
+
+    return {k: (tuple(meta[k]) if isinstance(meta[k], list) else meta[k])
+            for k in _ARCH_META_KEYS.get(meta.get("model"), ())
+            if k in meta}
 
 
 def _print_model_card(model, variables, shape_hw, channels: int = 3) -> None:
@@ -590,7 +604,7 @@ def cmd_export_torch(args) -> Dict:
     model, variables, meta = load_model_checkpoint(args.checkpoint)
     sd = export_torch_state_dict(
         meta["model"], variables, num_classes=int(meta["num_classes"]),
-        s=float(meta.get("s", 2.0)))
+        s=float(meta.get("s", 2.0)), **_arch_meta_kw(meta))
     torch.save(sd, args.out)
     print_info_message(f"exported {len(sd)} tensors -> {args.out}")
     return {"out": args.out, "n_tensors": len(sd)}

@@ -69,12 +69,14 @@ class SourceModel:
 
 def make_source(name: str, model, variables, src_dataset: str,
                 num_target: int = 3, channel_major: bool = False,
-                in_channels: int = 3) -> SourceModel:
+                in_channels: int = 3,
+                conversion: Optional[np.ndarray] = None) -> SourceModel:
     """Wrap a flax segmentation model + trained variables as a SourceModel.
 
     channel_major=True requests [B,C,H,W] logits: models that support
     `channel_major_logits` emit them at zero cost; others get an explicit
-    transpose appended."""
+    transpose appended.  `conversion` overrides the registry lookup for
+    `src_dataset` (e.g. the self-training target model's identity matrix)."""
     import dataclasses as _dc
     import functools
 
@@ -94,7 +96,8 @@ def make_source(name: str, model, variables, src_dataset: str,
     return SourceModel(
         name=name,
         apply_fn=functools.partial(apply_vars_fn, variables),
-        conversion=label_conversion_matrix(src_dataset, num_target),
+        conversion=(conversion if conversion is not None
+                    else label_conversion_matrix(src_dataset, num_target)),
         channel_major=channel_major,
         compute_dtype=getattr(model, "compute_dtype", None),
         in_channels=in_channels,
@@ -268,7 +271,12 @@ class PseudoLabelGenerator:
         self.sources = sources
         self.mesh = mesh
         self._params_as_args = params_as_args
-        self._vars = (tuple(s.variables for s in sources)
+        # device_put once: checkpoint-loaded / device_get'd variables are
+        # host numpy pytrees, and jit RE-TRANSFERS numpy arguments on every
+        # call — per-BATCH weight uploads through a slow tunnel would dwarf
+        # the retrace this class exists to avoid.  No-op for arrays already
+        # on device.
+        self._vars = (jax.device_put(tuple(s.variables for s in sources))
                       if params_as_args else ())
         self._batch_pass, self._data_sharding, self._trace_counter = \
             _build_batch_pass(
@@ -288,8 +296,9 @@ class PseudoLabelGenerator:
                 "set_variables requires params_as_args=True (weights are "
                 "baked into the compiled program otherwise)")
         v = list(self._vars)
-        v[i] = variables
-        self._vars = tuple(v)
+        v[i] = jax.device_put(variables)  # host pytrees would re-upload
+        self._vars = tuple(v)             # on every per-batch call
+
 
     def _prefetched(self, loader):
         """Iterate (host_batch, device_images) with ONE batch of h2d

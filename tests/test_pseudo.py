@@ -312,3 +312,43 @@ def test_mesh_generation_bit_exact_fast():
         np.testing.assert_array_equal(lab, lab0)
         np.testing.assert_array_equal(conf, conf0)
         np.testing.assert_array_equal(idx, idx0)
+
+
+def test_pipeline_sweep_bit_exact(monkeypatch):
+    """MSPL_PSEUDO_PIPELINE=1 (two-deep dispatch, the locally-attached-TPU
+    mode) must return arrays bit-identical to the default serial order,
+    including a padded tail batch (r5 review: the pending/flush reordering
+    had no automated parity gate)."""
+    from mspl_tpu.data.datasets import SyntheticSegmentation
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.pseudo.generate import PseudoLabelGenerator
+    from mspl_tpu.utils.registry import IMAGENET_MEAN, IMAGENET_STD
+
+    t = 3
+    # length 10 @ batch 4 -> the tail batch is padded (2 valid rows)
+    target = SyntheticSegmentation(num_classes=t, size_wh=(32, 24),
+                                   length=10, seed=5, unlabeled=True)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    pal = jnp.asarray(target.palette, jnp.float32) / 255.0
+
+    def apply_fn(x):
+        rgb = x * std + mean
+        return -((rgb[..., None, :] - pal) ** 2).sum(-1) * 200.0
+
+    conv = np.concatenate([np.eye(t, dtype=np.float32),
+                           np.zeros((t, 1), np.float32)], axis=1)
+    gen = PseudoLabelGenerator(
+        [SourceModel(name="a", apply_fn=apply_fn, conversion=conv)])
+
+    def sweep():
+        return gen(DataLoader(target, batch_size=4))
+
+    monkeypatch.delenv("MSPL_PSEUDO_PIPELINE", raising=False)
+    lab0, conf0, idx0 = sweep()
+    assert lab0.shape[0] == 10
+    monkeypatch.setenv("MSPL_PSEUDO_PIPELINE", "1")
+    lab1, conf1, idx1 = sweep()
+    np.testing.assert_array_equal(lab0, lab1)
+    np.testing.assert_array_equal(conf0, conf1)
+    np.testing.assert_array_equal(idx0, idx1)
