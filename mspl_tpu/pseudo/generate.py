@@ -232,6 +232,60 @@ def fused_pseudo_pass(
     return _apply_kc(label, conf, kc, t, ignore_label)
 
 
+def fused_pseudo_soft_decoder_res(
+    logits_cm: Sequence[jnp.ndarray],
+    conversions: Sequence[np.ndarray],
+    out_hw: Tuple[int, int],
+    kc: Optional[jnp.ndarray] = None,
+    ignore_label: int = IGNORE_LABEL,
+    conf_mode: str = "prob",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft fusion at DECODER resolution (r5 opt-in approximation).
+
+    The ESPNetv2 decoder emits logits at (H/2, W/2) and the exact pipeline
+    bilinearly upsamples EVERY model's C_src logits to input resolution
+    before softmax (reference semantics).  This variant softmaxes,
+    label-space-converts and fuses at the decoder resolution — 1/4 of the
+    pixels, and channel-major [B, C, h, w] from `final_resize=False`
+    models — then upsamples only the fused (T+1)-channel distribution.
+    Bilinear interpolation is a convex combination, so the upsampled
+    fused map remains a probability distribution; the label/confidence
+    epilogue at full resolution is unchanged.
+
+    Differs from the exact pipeline only where interpolation and softmax
+    fail to commute — class-boundary pixels.  MEASURED (r5, recorded
+    near-wash, kept as the experiment): +0.8% img/s and 99.00% per-pixel
+    label agreement — below the 99.5% gate — because the exact path's
+    full-res fusion runs in the hand-tuned CM Pallas kernel while this
+    variant is plain-XLA einsums (BASELINE.md r5 "Decoder-resolution
+    fusion").  Production defaults stay exact.
+    """
+    if not logits_cm or len(logits_cm) != len(conversions):
+        raise ValueError("need N>=1 matching logits/conversion pairs")
+    if conf_mode not in ("prob", "entropy"):
+        raise ValueError(f"unknown conf_mode '{conf_mode}'")
+    from mspl_tpu.ops.resize import resize_bilinear_cm
+
+    t = int(conversions[0].shape[1]) - 1
+    acc = None
+    for lg, mat in zip(logits_cm, conversions):
+        p = jax.nn.softmax(lg.astype(jnp.float32), axis=1)
+        q = jnp.einsum("bchw,ct->bthw", p,
+                       jnp.asarray(mat, jnp.float32))
+        acc = q if acc is None else acc + q
+    fused = acc / len(logits_cm)  # [B, T+1, h, w]
+    up = resize_bilinear_cm(fused, out_hw, align_corners=True)
+    tgt = up[:, :t]
+    label = jnp.argmax(tgt, axis=1).astype(jnp.int32)
+    if conf_mode == "entropy":
+        d = jnp.maximum(up, 1e-30)
+        h_ent = -jnp.sum(jnp.where(up > 0, up * jnp.log(d), 0.0), axis=1)
+        conf = 1.0 - h_ent / float(np.log(t + 1))
+    else:
+        conf = jnp.max(tgt, axis=1)
+    return _apply_kc(label, conf, kc, t, ignore_label)
+
+
 class PseudoLabelGenerator:
     """The pseudo-label engine with its compiled program built ONCE.
 

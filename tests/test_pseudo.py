@@ -352,3 +352,41 @@ def test_pipeline_sweep_bit_exact(monkeypatch):
     np.testing.assert_array_equal(lab0, lab1)
     np.testing.assert_array_equal(conf0, conf1)
     np.testing.assert_array_equal(idx0, idx1)
+
+
+def test_decoder_res_fusion_exact_when_no_resize():
+    """`fused_pseudo_soft_decoder_res` with out_hw == logits resolution has
+    NO approximation (the resize is identity) and must match the NHWC
+    reference pass bit-for-bit; with a 2x out_hw the result stays a valid
+    thresholded label map over the same classes."""
+    from mspl_tpu.pseudo.generate import fused_pseudo_soft_decoder_res
+
+    rng = np.random.default_rng(3)
+    logits, convs = _setup(rng)
+    logits_cm = [jnp.transpose(l, (0, 3, 1, 2)) for l in logits]
+    kc = jnp.asarray([0.4, 0.5, 0.6], jnp.float32)
+
+    lab_ref, conf_ref = fused_pseudo_pass(logits, convs, mode="soft", kc=kc)
+    h, w = logits[0].shape[1:3]
+    lab, conf = fused_pseudo_soft_decoder_res(logits_cm, convs, (h, w),
+                                              kc=kc)
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab_ref))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(conf_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    lab2, conf2 = fused_pseudo_soft_decoder_res(logits_cm, convs,
+                                                (2 * h, 2 * w), kc=kc)
+    lab2 = np.asarray(lab2)
+    assert lab2.shape == (logits[0].shape[0], 2 * h, 2 * w)
+    assert set(np.unique(lab2)) <= {0, 1, 2, 255}
+    c2 = np.asarray(conf2)
+    assert np.all((c2 >= 0) & (c2 <= 1.0 + 1e-6))
+
+    # entropy confidence family is supported too
+    lab3, conf3 = fused_pseudo_soft_decoder_res(
+        logits_cm, convs, (h, w), kc=None, conf_mode="entropy")
+    ref3 = fused_pseudo_pass(logits, convs, mode="soft", kc=None,
+                             conf_mode="entropy")
+    np.testing.assert_array_equal(np.asarray(lab3), np.asarray(ref3[0]))
+    np.testing.assert_allclose(np.asarray(conf3), np.asarray(ref3[1]),
+                               rtol=1e-5, atol=1e-6)
