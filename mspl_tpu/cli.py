@@ -372,6 +372,72 @@ def cmd_eval(args) -> Dict:
     return {"iou": iou, "miou": miou}
 
 
+def _viz_palette(num_classes: int, dataset: Optional[str]) -> np.ndarray:
+    """Colorization palette: the canonical greenhouse colors, else a
+    deterministic evenly-spaced HSV wheel sized to the label space (the
+    reference only ships a palette for its target domain)."""
+    import colorsys
+
+    from mspl_tpu.data.label_io import GREENHOUSE_PALETTE
+
+    if dataset == "greenhouse" and num_classes <= GREENHOUSE_PALETTE.shape[0]:
+        return GREENHOUSE_PALETTE
+    cols = [colorsys.hsv_to_rgb(i / max(num_classes, 1), 0.75, 0.95)
+            for i in range(num_classes)]
+    return (np.asarray(cols) * 255).astype(np.uint8)
+
+
+def cmd_infer(args) -> Dict:
+    """Predict-only inference over an (optionally unlabeled) image list:
+    raw prediction PNGs + colorized overlays (+ uint8 confidence maps) —
+    the reference's test_segmentation.py flow without requiring ground
+    truth (SURVEY.md §3.4; `eval` covers the labeled variant + mIoU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mspl_tpu.data.datasets import build_dataset
+    from mspl_tpu.data.label_io import save_colorized_png, save_label_png
+    from mspl_tpu.data.loader import DataLoader
+    from mspl_tpu.data.transforms import normalize
+
+    model, variables, meta = load_model_checkpoint(args.checkpoint)
+    ds = build_dataset(args.dataset or meta["dataset"], args.data_root,
+                       args.list,
+                       size_wh=tuple(args.size) if args.size else None)
+    loader = DataLoader(ds, args.batch_size)
+    os.makedirs(args.out_dir, exist_ok=True)
+    nc = int(meta["num_classes"])
+    palette = _viz_palette(nc, args.dataset or meta.get("dataset"))
+
+    @jax.jit
+    def predict(imgs):
+        x = normalize(imgs)
+        logits = model.apply(variables, x, train=False)
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.argmax(p, axis=-1).astype(jnp.uint8), jnp.max(p, axis=-1)
+
+    n = 0
+    for batch in loader:
+        pred, conf = predict(batch["image"])
+        pred, conf = np.asarray(pred), np.asarray(conf)
+        for j, idx in enumerate(np.asarray(batch["index"])):
+            if not bool(batch["valid"][j]):
+                continue
+            stem = f"{int(idx):06d}"
+            save_label_png(pred[j],
+                           os.path.join(args.out_dir, f"pred_{stem}.png"))
+            save_colorized_png(pred[j],
+                               os.path.join(args.out_dir, f"viz_{stem}.png"),
+                               palette)
+            if args.save_conf:
+                save_label_png(
+                    np.clip(conf[j] * 255.0, 0, 255).astype(np.uint8),
+                    os.path.join(args.out_dir, f"conf_{stem}.png"))
+            n += 1
+    print_info_message(f"wrote {n} predictions -> {args.out_dir}")
+    return {"n": n, "out_dir": args.out_dir}
+
+
 def _load_sources(ckpts, num_target: int):
     import jax
 
@@ -648,6 +714,22 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--save-viz", default=None, metavar="DIR",
                    help="also write colorized prediction PNGs to DIR")
     e.set_defaults(fn=cmd_eval)
+
+    i = sub.add_parser(
+        "infer", help="predict-only inference (no ground truth needed)")
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--dataset", default=None, choices=SEGMENTATION_DATASETS,
+                   help="overrides the checkpoint meta (palette/classes)")
+    i.add_argument("--data-root", required=True)
+    i.add_argument("--list", required=True,
+                   help="image list (labels optional, ignored)")
+    i.add_argument("--out-dir", required=True)
+    i.add_argument("--batch-size", type=int, default=8)
+    i.add_argument("--size", type=int, nargs=2, default=None,
+                   metavar=("W", "H"))
+    i.add_argument("--save-conf", action="store_true",
+                   help="also write uint8 max-softmax confidence maps")
+    i.set_defaults(fn=cmd_infer)
 
     g = sub.add_parser("pseudo", help="generate pseudo-labels")
     g.add_argument("--checkpoints", nargs="+", required=True,

@@ -135,3 +135,51 @@ def test_cli_pretrain_and_encoder_transfer(tmp_path):
                 "--epochs", "1", "--optimizer", "adam", "--lr", "0.005",
                 "--scheduler", "fixed"])
     assert np.isfinite(res["history"][-1]["loss"])
+
+
+@pytest.mark.slow
+def test_cli_infer_unlabeled(tmp_path):
+    """`infer`: predict-only flow on an image-only list — pred/viz(/conf)
+    PNGs out, no ground truth required (reference test_segmentation.py
+    without labels, SURVEY.md §3.4)."""
+    import jax
+
+    from mspl_tpu.cli import _save_model
+    from mspl_tpu.models import build_segmentation_model, init_model
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(5):
+        img = rng.integers(0, 255, size=(24, 32, 3)).astype(np.uint8)
+        Image.fromarray(img).save(root / f"i_{i}.png")
+        lines.append(f"i_{i}.png")
+    lst = root / "list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+
+    info = dataset_info("camvid")
+    model = build_segmentation_model("espnetv2", num_classes=info.num_classes,
+                                     s=0.5)
+    variables = init_model(model, (24, 32), rng=jax.random.PRNGKey(3))
+    ckpt = str(tmp_path / "ckpt")
+    _save_model(ckpt, variables,
+                {"dataset": "camvid", "model": "espnetv2", "s": 0.5,
+                 "num_classes": info.num_classes, "bf16": False,
+                 "input_hw": [24, 32], "in_channels": 3})
+
+    out = str(tmp_path / "preds")
+    res = main(["infer", "--checkpoint", ckpt, "--data-root", str(root),
+                "--list", str(lst), "--out-dir", out, "--batch-size", "4",
+                "--size", "32", "24", "--save-conf"])
+    assert res["n"] == 5
+    names = sorted(os.listdir(out))
+    assert len([f for f in names if f.startswith("pred_")]) == 5
+    assert len([f for f in names if f.startswith("viz_")]) == 5
+    assert len([f for f in names if f.startswith("conf_")]) == 5
+    from PIL import Image as I
+
+    with I.open(os.path.join(out, "pred_000000.png")) as im:
+        arr = np.asarray(im)
+    assert arr.shape == (24, 32) and arr.max() < info.num_classes
