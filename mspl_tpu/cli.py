@@ -793,7 +793,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_selftrain, epochs=5, lr=1e-3, scheduler="poly")
 
     b = sub.add_parser("bench", help="run the headline benchmark")
-    b.set_defaults(fn=lambda a: __import__("bench").main())
+    # the hardened parent/child orchestration (watchdog, live-check
+    # promotion, anchor refresh) — not the bare measurement child
+    b.set_defaults(fn=lambda a: __import__("bench").orchestrate([]))
 
     it = sub.add_parser(
         "import-torch",
