@@ -139,12 +139,25 @@ def parse(logdir: str, top: int, iters: int, merge_fusions: bool):
     # not be mixed in, or copy-start dominates a fictitious total.
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    per_bytes = collections.Counter()  # HLO cost-model bytes_accessed
+    per_flops = collections.Counter()
     async_total = 0.0
     total = 0
     for plane in space.planes:
         if not plane.name.startswith("/device:"):
             continue
-        ev_meta = {k: v.name for k, v in plane.event_metadata.items()}
+        ev_meta = plane.event_metadata
+        sm = {k: v.name for k, v in plane.stat_metadata.items()}
+        meta_cost = {}  # metadata_id -> (bytes, flops)
+        for mid, md in ev_meta.items():
+            b = fl = 0
+            for s in md.stats:
+                nmst = sm.get(s.metadata_id)
+                if nmst == "bytes_accessed":
+                    b = s.int64_value or s.uint64_value
+                elif nmst == "flops":
+                    fl = s.int64_value or s.uint64_value
+            meta_cost[mid] = (b, fl)
         for line in plane.lines:
             if line.name == "Async XLA Ops":
                 async_total += sum(e.duration_ps for e in line.events) / 1e12
@@ -152,23 +165,36 @@ def parse(logdir: str, top: int, iters: int, merge_fusions: bool):
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                nm = ev_meta.get(ev.metadata_id, "?")
+                md = ev_meta.get(ev.metadata_id)
+                nm = md.name if md else "?"
                 dur = ev.duration_ps / 1e12
                 key = nm
                 if merge_fusions:
                     key = re.sub(r"\.\d+$", "", nm.split(" = ")[0])
+                b, fl = meta_cost.get(ev.metadata_id, (0, 0))
                 per_op[key] += dur
+                per_bytes[key] += b
+                per_flops[key] += fl
                 cat = key.split(".")[0].split("(")[0]
                 per_cat[cat] += dur
                 total += dur
 
+    # achieved rates vs the chip's rooflines tell WHAT bounds each op:
+    # ~GB/s near HBM peak => memory-bound at roofline (irreducible without
+    # less traffic); low GB/s AND low TFLOP/s => issue/latency-bound
+    # (kernel/layout problem); high TFLOP/s => MXU-bound.
     print(f"\ndevice busy ('XLA Ops'): {total * 1e3:.2f} ms over {iters} "
           f"iter(s) = {total * 1e3 / max(iters, 1):.2f} ms/iter   "
           f"(async DMA spans, overlapped: "
           f"{async_total * 1e3 / max(iters, 1):.1f} ms/iter)")
-    print(f"\n== top {top} ops (summed over trace) ==")
+    print(f"\n== top {top} ops (summed over trace; GB/s + TFLOP/s are "
+          "achieved rates from the HLO cost model) ==")
     for nm, t in per_op.most_common(top):
-        print(f"{t * 1e3 / max(iters, 1):9.3f} ms/iter  {100 * t / total:5.1f}%  {nm[:110]}")
+        gbs = per_bytes[nm] / t / 1e9 if t else 0.0
+        tf = per_flops[nm] / t / 1e12 if t else 0.0
+        print(f"{t * 1e3 / max(iters, 1):9.3f} ms/iter  "
+              f"{100 * t / total:5.1f}%  {gbs:7.1f} GB/s  {tf:6.2f} TF/s  "
+              f"{nm[:80]}")
     print("\n== by category ==")
     for nm, t in per_cat.most_common(25):
         print(f"{t * 1e3 / max(iters, 1):9.3f} ms/iter  {100 * t / total:5.1f}%  {nm[:80]}")
