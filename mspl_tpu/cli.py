@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -358,7 +359,8 @@ def cmd_eval(args) -> Dict:
                     continue
                 save_colorized_png(
                     preds[j],
-                    os.path.join(save_dir, f"pred_{int(idx):06d}.png"))
+                    os.path.join(save_dir, f"pred_{int(idx):06d}.png"),
+                    _viz_palette(nc, args.dataset or meta.get("dataset")))
         iou, miou = miou_acc.get_iou()
     else:
         iou, miou = evaluate(eval_step, variables["params"],
@@ -401,9 +403,16 @@ def cmd_infer(args) -> Dict:
     from mspl_tpu.data.transforms import normalize
 
     model, variables, meta = load_model_checkpoint(args.checkpoint)
+    use_depth = bool(getattr(args, "rgbd", False))
     ds = build_dataset(args.dataset or meta["dataset"], args.data_root,
                        args.list,
-                       size_wh=tuple(args.size) if args.size else None)
+                       size_wh=tuple(args.size) if args.size else None,
+                       use_depth=use_depth)
+    ck_ch = int(meta.get("in_channels", 3))
+    if ck_ch != ds.channels:
+        raise SystemExit(
+            f"checkpoint stem takes {ck_ch} channels but the image list "
+            f"provides {ds.channels} (--rgbd mismatch)")
     loader = DataLoader(ds, args.batch_size)
     os.makedirs(args.out_dir, exist_ok=True)
     nc = int(meta["num_classes"])
@@ -729,6 +738,8 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("W", "H"))
     i.add_argument("--save-conf", action="store_true",
                    help="also write uint8 max-softmax confidence maps")
+    i.add_argument("--rgbd", action="store_true",
+                   help="'rgb depth' list lines; 4-channel checkpoints")
     i.set_defaults(fn=cmd_infer)
 
     g = sub.add_parser("pseudo", help="generate pseudo-labels")
@@ -794,8 +805,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     # the hardened parent/child orchestration (watchdog, live-check
-    # promotion, anchor refresh) — not the bare measurement child
-    b.set_defaults(fn=lambda a: __import__("bench").orchestrate([]))
+    # promotion, anchor refresh) — not the bare measurement child; the
+    # return code must survive to the shell (a wedged run exits nonzero)
+    b.set_defaults(fn=lambda a: sys.exit(__import__("bench").orchestrate([])))
 
     it = sub.add_parser(
         "import-torch",

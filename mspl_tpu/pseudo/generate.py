@@ -67,16 +67,24 @@ class SourceModel:
     variables: Optional[object] = None
 
 
+_AUTO = object()
+
+
 def make_source(name: str, model, variables, src_dataset: str,
                 num_target: int = 3, channel_major: bool = False,
                 in_channels: int = 3,
-                conversion: Optional[np.ndarray] = None) -> SourceModel:
+                conversion: Optional[np.ndarray] = None,
+                compute_dtype=_AUTO) -> SourceModel:
     """Wrap a flax segmentation model + trained variables as a SourceModel.
 
     channel_major=True requests [B,C,H,W] logits: models that support
     `channel_major_logits` emit them at zero cost; others get an explicit
     transpose appended.  `conversion` overrides the registry lookup for
-    `src_dataset` (e.g. the self-training target model's identity matrix)."""
+    `src_dataset` (e.g. the self-training target model's identity matrix).
+    `compute_dtype` defaults to the model's own; pass None to exclude this
+    source from the engine's shared input-cast vote (the self-training
+    target member does this so a non-bf16 target never disables the
+    one-shot bf16 cast the bf16 sources share)."""
     import dataclasses as _dc
     import functools
 
@@ -99,7 +107,8 @@ def make_source(name: str, model, variables, src_dataset: str,
         conversion=(conversion if conversion is not None
                     else label_conversion_matrix(src_dataset, num_target)),
         channel_major=channel_major,
-        compute_dtype=getattr(model, "compute_dtype", None),
+        compute_dtype=(getattr(model, "compute_dtype", None)
+                       if compute_dtype is _AUTO else compute_dtype),
         in_channels=in_channels,
         apply_vars_fn=apply_vars_fn,
         variables=variables,
