@@ -183,3 +183,26 @@ def test_cli_infer_unlabeled(tmp_path):
     with I.open(os.path.join(out, "pred_000000.png")) as im:
         arr = np.asarray(im)
     assert arr.shape == (24, 32) and arr.max() < info.num_classes
+
+
+def test_viz_palette_and_arch_meta_kw():
+    """Pure helpers: per-dataset palettes are full-coverage and
+    deterministic; architecture meta keys round-trip with list->tuple
+    normalization and unknown models/keys are ignored."""
+    from mspl_tpu.cli import _arch_meta_kw, _viz_palette
+    from mspl_tpu.data.label_io import GREENHOUSE_PALETTE
+
+    p11 = _viz_palette(11, "camvid")
+    assert p11.shape == (11, 3) and p11.dtype == np.uint8
+    assert len({tuple(c) for c in p11}) == 11  # distinct colors per class
+    np.testing.assert_array_equal(p11, _viz_palette(11, "camvid"))
+    np.testing.assert_array_equal(_viz_palette(3, "greenhouse"),
+                                  GREENHOUSE_PALETTE)
+
+    kw = _arch_meta_kw({"model": "deeplabv3", "stage_blocks": [2, 2, 2, 2],
+                        "aspp_features": 64, "num_classes": 5})
+    assert kw == {"stage_blocks": (2, 2, 2, 2), "aspp_features": 64}
+    assert _arch_meta_kw({"model": "espnetv2", "stage_blocks": [1]}) == {}
+    assert _arch_meta_kw({"model": "espnetv2", "dec_base_planes": 8}) == \
+        {"dec_base_planes": 8}
+    assert _arch_meta_kw({"model": "unknown"}) == {}
